@@ -1,0 +1,693 @@
+"""Operator corpus for the driver contract: each SURVEY.md §2 operator as a
+(spark query, DuckDB oracle SQL) pair over the driver's parquet tables.
+
+Float discipline (the driver hashes values): money-style aggregates are
+computed in DECIMAL (exact, associative — immune to partial-aggregation
+order) and cast to double at the end; short in-order array reductions
+(cosine) are rounded to 6 dp on both sides; every computed column is
+aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from darkbo_spark.functions.ids import sha256_id_col
+from darkbo_spark.functions import text_analysis as ta
+from darkbo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+    token_jaccard_pairs,
+)
+from darkbo_spark.operators.events import (
+    dedup_by_priority,
+    json_prop,
+    running_totals,
+    sessionize,
+)
+from darkbo_spark.operators.merge import split_created_updated, upsert
+from darkbo_spark.operators.scoring import relevance_score_col, relevance_score_sql
+from darkbo_spark.operators.similarity import brute_force_topk, lsh_topk
+from darkbo_spark.operators.tfidf import build_postings, score_query
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: lexical relevance scoring + top-k (A1 + P6 + T1)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_QUERY = "fast table scan with window agg"
+
+_flagship_oracle = f"""
+SELECT doc_id,
+       {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} AS score
+FROM documents
+WHERE {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 5
+"""
+
+
+@_q("flagship_relevance_topk", _flagship_oracle)
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    score = relevance_score_col(FLAGSHIP_QUERY, F.lower("text"), F.lower("source"))
+    return (
+        docs.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan + filter + aggregate (S1/P6/A3): TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dq).cast("double").alias("sum_qty"),
+            F.sum(dp).cast("double").alias("sum_base_price"),
+            F.sum(dp * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
+            (F.sum(dq).cast("double") / F.count("*").cast("double")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k (T1)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "top5_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5",
+)
+def top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus stats (A3)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "corpus_stats",
+    """
+SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY lang
+""",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*").cast("double")).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Precedence dedup (A5)
+# ---------------------------------------------------------------------------
+
+_PRIORITY_SQL = (
+    "CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1 "
+    "WHEN 'click' THEN 2 WHEN 'view' THEN 3 WHEN 'error' THEN 4 ELSE 99 END"
+)
+
+
+@_q(
+    "dedup_first_wins",
+    f"""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {_PRIORITY_SQL} ASC, ts ASC, event_id ASC) AS rk
+  FROM events
+) WHERE rk = 1
+""",
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_by_priority(_t(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert / MERGE (J2)
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH target AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+), updates AS (
+  SELECT c_custkey, 'updated-' || CAST(c_custkey AS VARCHAR) AS c_name, 0.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+), unioned AS (
+  SELECT *, 1 AS pri FROM target
+  UNION ALL
+  SELECT *, 0 AS pri FROM updates
+)
+SELECT c_custkey, c_name, c_acctbal FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY pri ASC) AS rk FROM unioned
+) WHERE rk = 1
+"""
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    target = c.filter(F.col("c_custkey") % 3 != 0)
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("updated-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return target, updates
+
+
+@_q("merge_upsert", _UPSERT_ORACLE)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, updates = _merge_inputs(spark, sf_dir)
+    return upsert(target, updates, "c_custkey")
+
+
+@_q(
+    "upsert_created_updated",
+    """
+WITH target AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+), updates AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, 'created' AS op FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM target)
+UNION ALL
+SELECT c_custkey, 'updated' AS op FROM updates WHERE c_custkey IN (SELECT c_custkey FROM target)
+""",
+)
+def upsert_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, updates = _merge_inputs(spark, sf_dir)
+    return split_created_updated(target, updates, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (resume-filter shape)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "customers_without_recent_orders",
+    """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+""",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@_q(
+    "customers_with_orders",
+    "SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Dense retrieval (J3): exact cosine top-k vs the vec_id=0 query vector
+# ---------------------------------------------------------------------------
+
+_DENSE_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS doc_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("dense_topk", _DENSE_ORACLE)
+def dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(emb, queries, k=10).select("doc_id", "score")
+
+
+@_q("ann_lsh_topk")  # rows-only: recall vs brute force asserted in pytest
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6).select("qid", "doc_id", "score")
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval (A2/J4): TF-IDF postings + query join
+# ---------------------------------------------------------------------------
+
+_TFIDF_TERMS = ["table", "scan", "window"]
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+  SELECT token, ln((SELECT n_docs + 1 FROM n) * 1.0 / (COUNT(*) + 1)) + 1 AS idf
+  FROM tf GROUP BY token
+)
+SELECT tf.doc_id,
+       CAST(SUM(CAST(ROUND(tf.tf * idf.idf, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tf JOIN idf USING (token)
+WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("tfidf_topk", _TFIDF_ORACLE)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs).withColumn(
+        "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
+    )
+    q = spark.createDataFrame([(t,) for t in _TFIDF_TERMS], ["token"])
+    scored = (
+        postings.join(F.broadcast(q), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("tf_idf").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Hash-agg checksum (A4)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "source_checksums",
+    """
+SELECT source, sha256(string_agg(sha256(text), '' ORDER BY sha256(text))) AS checksum
+FROM documents GROUP BY source
+""",
+)
+def source_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sha2(
+            F.concat_ws("", F.array_sort(F.collect_list(F.sha2(F.col("text"), 256)))), 256
+        ).alias("checksum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex argument extraction (P5 archetype)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "regex_extract_snippets",
+    """
+SELECT doc_id, regexp_extract(text, 'table ([a-z]+)', 1) AS snippet
+FROM documents WHERE regexp_extract(text, 'table ([a-z]+)', 1) <> ''
+""",
+)
+def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    snip = F.regexp_extract("text", r"table ([a-z]+)", 1)
+    return docs.select("doc_id", snip.alias("snippet")).filter(F.col("snippet") != "")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: lang-id, quality, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lang_id",
+    f"SELECT doc_id, {ta.sql_lang_id('text')} AS lang_guess FROM documents",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ta.lang_id_heuristic(F.col("text")).alias("lang_guess")
+    )
+
+
+@_q(
+    "quality_scores",
+    f"SELECT doc_id, {ta.sql_quality_score('text')} AS quality FROM documents",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ta.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@_q(
+    "token_counts_by_lang",
+    f"""
+SELECT lang, COUNT(*) AS docs, SUM({ta.sql_token_count('text')}) AS total_tokens
+FROM documents GROUP BY lang
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(ta.token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+    )
+
+
+@_q(
+    "doc_fingerprints",
+    f"SELECT doc_id, {ta.sql_doc_fingerprint('text')} AS fp FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ta.doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@_q(
+    "exact_dedup_docs",
+    "SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "fingerprint", "doc_id"
+    )
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+  FROM documents WHERE doc_id < 60
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM toks a JOIN toks b USING (token)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+@_q("token_jaccard_pairs", _JACCARD_ORACLE)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return token_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+
+
+@_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4)
+
+
+@_q("simhash_docs")  # rows-only: determinism + hamming properties in pytest
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Window / sessionization / JSON ops over events
+# ---------------------------------------------------------------------------
+
+@_q(
+    "running_totals",
+    """
+SELECT user_id, event_id, ts,
+       ROW_NUMBER() OVER w AS seq,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return running_totals(ev)
+
+
+@_q(
+    "sessionize_events",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id, ts,
+       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_seq
+FROM gaps
+""",
+)
+def sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return sessionize(ev, gap_minutes=30)
+
+
+@_q(
+    "json_props_agg",
+    """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_prop(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Join chains (broadcast dims) + grouped rollup
+# ---------------------------------------------------------------------------
+
+@_q(
+    "region_rollup",
+    """
+SELECT r.r_name, COUNT(DISTINCT n.n_nationkey) AS nations, COUNT(*) AS customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_name
+""",
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("nations"),
+            F.count("*").alias("customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@_q(
+    "q3_top_unshipped",
+    """
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic ids
+# ---------------------------------------------------------------------------
+
+@_q(
+    "content_ids",
+    "SELECT doc_id, substr(sha256('doc:' || CAST(doc_id AS VARCHAR)), 1, 32) AS content_id FROM documents",
+)
+def content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", sha256_id_col("doc", F.col("doc_id").cast("string")).alias("content_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Title derivation (P8)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "title_derivation",
+    """
+SELECT p_partkey,
+       array_to_string(
+         list_transform(string_split(replace(replace(p_name, '_', ' '), '-', ' '), ' '),
+                        w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))),
+         ' ') AS title
+FROM part
+""",
+)
+def title_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    base = F.translate(F.col("p_name"), "_-", "  ")
+    return p.select("p_partkey", F.initcap(base).alias("title"))
+
+
+# ---------------------------------------------------------------------------
+# Byte-identical clean_text parity (P1) — UDF vs DuckDB RE2 chain (ASCII corpus)
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = r"""
+WITH c1 AS (SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents),
+c2 AS (SELECT doc_id, regexp_replace(t, '[^\w\s.,;:!?\-()\[\]"''/]', ' ', 'g') AS t FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(t, '\.{3,}', '...', 'g') AS t FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(t, '-{3,}', '---', 'g') AS t FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(t, '\s+([,.;:!?])', '\1', 'g') AS t FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(t, '([,.;:!?])\s*([,.;:!?])', '\1 \2', 'g') AS t FROM c5),
+c7 AS (SELECT doc_id, trim(t) AS line FROM c6)
+SELECT doc_id,
+       md5(CASE WHEN length(line) > 10 OR (length(line) > 3 AND regexp_matches(line, '[A-Za-z]'))
+                THEN line ELSE '' END) AS clean_fp
+FROM c7
+"""
+
+
+@_q("clean_text_parity", _CLEAN_ORACLE)
+def clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.functions.textnorm import clean_text_udf
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(clean_text_udf(F.col("text"))).alias("clean_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline on the synthetic Common-Crawl pages (rows-only — the full
+# golden-parity gate is tests/test_kg_pipeline.py)
+# ---------------------------------------------------------------------------
+
+@_q("kg_raw_triples")
+def kg_raw_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.kg.pages import synth_pages
+    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
+
+    pages = synth_pages(spark, 200, seed=42)
+    return extract_raw_triples(segment_sentences(extract_docs(pages)))
+
+
+@_q("kg_linked_entities")
+def kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.kg.link import link_entities
+    from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
+    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
+
+    pages = synth_pages(spark, 200, seed=42)
+    raw = extract_raw_triples(segment_sentences(extract_docs(pages)))
+    return link_entities(raw, entity_dictionary_df(spark)).select(
+        "triple_id", "subj", "pred", "obj", "subj_eid", "obj_eid"
+    )

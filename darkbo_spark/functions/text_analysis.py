@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines — all native column
+expressions (JVM, codegen'd): language-ID heuristic, quality scoring, token
+counting, document fingerprinting. Each has an exact ANSI-SQL twin used by
+the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "an", "is", "are", "of", "and", "to", "in"]
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), " +"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """'en_like' when English stopwords make up ≥2% of tokens, else 'other'.
+    An n-gram/stopword heuristic — deterministic, SQL-expressible."""
+    return F.when(stopword_ratio(text) >= 0.02, F.lit("en_like")).otherwise(F.lit("other"))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^.,;:!?]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped).cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality: length band + low punctuation noise +
+    reasonable mean token length. Mirrors standard web-corpus filters."""
+    n_tok = token_count(text)
+    mean_tok_len = F.when(n_tok > 0, F.length(text).cast("double") / n_tok).otherwise(F.lit(0.0))
+    length_ok = F.when((F.length(text) >= 50) & (F.length(text) <= 20000), 0.4).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.1, 0.3).otherwise(0.0)
+    tok_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 0.3).otherwise(0.0)
+    return F.round(length_ok + punct_ok + tok_ok, 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Stable content fingerprint of whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# ---- ANSI-SQL twins (DuckDB) ----------------------------------------------
+
+def sql_token_count(text: str) -> str:
+    return f"len(list_filter(string_split_regex(lower({text}), ' +'), x -> x <> ''))"
+
+
+def sql_stopword_ratio(text: str) -> str:
+    toks = f"list_filter(string_split_regex(lower({text}), ' +'), x -> x <> '')"
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return (
+        f"(case when len({toks}) > 0 then "
+        f"len(list_filter({toks}, x -> x in ({stops}))) * 1.0 / len({toks}) "
+        f"else 0.0 end)"
+    )
+
+
+def sql_lang_id(text: str) -> str:
+    return f"(case when {sql_stopword_ratio(text)} >= 0.02 then 'en_like' else 'other' end)"
+
+
+def sql_punct_ratio(text: str) -> str:
+    return (
+        f"(case when length({text}) > 0 then "
+        f"length(regexp_replace({text}, '[^.,;:!?]', '', 'g')) * 1.0 / length({text}) "
+        f"else 0.0 end)"
+    )
+
+
+def sql_quality_score(text: str) -> str:
+    n_tok = sql_token_count(text)
+    mean_len = f"(case when {n_tok} > 0 then length({text}) * 1.0 / {n_tok} else 0.0 end)"
+    return (
+        "round("
+        f"(case when length({text}) between 50 and 20000 then 0.4 else 0.0 end) + "
+        f"(case when {sql_punct_ratio(text)} <= 0.1 then 0.3 else 0.0 end) + "
+        f"(case when {mean_len} between 2.0 and 12.0 then 0.3 else 0.0 end)"
+        ", 6)"
+    )
+
+
+def sql_doc_fingerprint(text: str) -> str:
+    return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"

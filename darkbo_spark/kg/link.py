@@ -1,0 +1,138 @@
+"""Stage L — entity linking: triples × canonical entity dictionary.
+
+raw_triples(url, sent_idx, subj, pred, obj, triple_id)
+  → linked(…, subj_eid, obj_eid)
+
+Two strategies, selected by `strategy`:
+
+* "broadcast" (default): the dictionary is bounded (canonical entity list),
+  so both lookups are BROADCAST hash joins — zero shuffle of the (huge)
+  triples side. This is the correct plan at 100 TB whenever the dictionary
+  fits the broadcast threshold.
+* "salted": explicit skew-defeating shuffle join for when the dictionary
+  outgrows broadcast. Mentions are Zipf-skewed (head entities dominate), so
+  a plain shuffle join would put one head key in one reducer. The big side
+  gets a deterministic salt `pmod(xxhash64(triple_id), S)`; the dictionary
+  side is exploded ×S; the join key becomes (alias_norm, salt) — spreading
+  each head key over S reducers. AQE skew-join remains on as a backstop.
+
+Surface normalization for matching: lowercase, trim, strip a leading
+"the " (the dictionary side is normalized identically at build time).
+Reference analog: case-folded substring sniffing, prebuild_kb.py:91-99.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def _norm(col: F.Column) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"^the ", "")
+
+
+def _prep_dict(entity_dict: DataFrame) -> DataFrame:
+    """(alias_norm, eid); on duplicate alias_norm keep the lexicographically
+    smallest eid so linking is deterministic."""
+    return (
+        entity_dict.select(_norm(F.col("alias")).alias("alias_norm"), "eid")
+        .groupBy("alias_norm")
+        .agg(F.min("eid").alias("eid"))
+    )
+
+
+def _link_side(
+    triples: DataFrame,
+    dict_norm: DataFrame,
+    surface_col: str,
+    out_col: str,
+    strategy: str,
+    salt_buckets: int,
+) -> DataFrame:
+    key = _norm(F.col(surface_col))
+    if strategy == "broadcast":
+        d = F.broadcast(dict_norm.withColumnRenamed("eid", out_col))
+        return triples.join(d, key == d["alias_norm"], "left").drop("alias_norm")
+    if strategy == "salted":
+        salted_big = triples.withColumn(
+            "_salt", F.pmod(F.xxhash64("triple_id", F.lit(surface_col)), F.lit(salt_buckets))
+        )
+        salted_dict = (
+            dict_norm.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+            )
+            .withColumn("_salt", F.col("_salt").cast("bigint"))
+            .withColumnRenamed("eid", out_col)
+        )
+        joined = salted_big.join(
+            salted_dict,
+            (key == salted_dict["alias_norm"]) & (salted_big["_salt"] == salted_dict["_salt"]),
+            "left",
+        )
+        return joined.drop("alias_norm").drop("_salt")
+    raise ValueError(f"unknown link strategy: {strategy}")
+
+
+def link_entities(
+    raw_triples: DataFrame,
+    entity_dict: DataFrame,
+    strategy: str = "broadcast",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Attach subj_eid / obj_eid by exact normalized-alias match. Unmatched
+    surfaces keep null eids (literals: years, free-text objects)."""
+    dict_norm = _prep_dict(entity_dict)
+    out = _link_side(raw_triples, dict_norm, "subj", "subj_eid", strategy, salt_buckets)
+    out = _link_side(out, dict_norm, "obj", "obj_eid", strategy, salt_buckets)
+    return out
+
+
+def fuzzy_candidates(
+    unmatched: DataFrame,
+    entity_dict: DataFrame,
+    surface_col: str = "surface",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Token-Jaccard candidate generation for surfaces that miss the exact
+    alias join (the TF-IDF/embedding candidate path of the north star in its
+    cheapest deterministic form).
+
+    Both sides explode to (token, key) postings; a shuffle join on token
+    produces candidate pairs; Jaccard = |∩| / (|A|+|B|-|∩|); keep argmax per
+    surface above threshold. All native ops — no UDF.
+    """
+    surf = (
+        unmatched.select(_norm(F.col(surface_col)).alias("s_norm"))
+        .distinct()
+        .withColumn("s_tokens", F.split(F.col("s_norm"), " "))
+        .withColumn("s_size", F.size("s_tokens"))
+    )
+    dic = (
+        entity_dict.select(_norm(F.col("alias")).alias("alias_norm"), "eid")
+        .distinct()
+        .withColumn("d_tokens", F.split(F.col("alias_norm"), " "))
+        .withColumn("d_size", F.size("d_tokens"))
+    )
+    s_post = surf.select("s_norm", "s_size", F.explode("s_tokens").alias("token")).distinct()
+    d_post = dic.select("alias_norm", "eid", "d_size", F.explode("d_tokens").alias("token")).distinct()
+    inter = (
+        s_post.join(d_post, "token")
+        .groupBy("s_norm", "s_size", "alias_norm", "eid", "d_size")
+        .agg(F.count("*").alias("overlap"))
+    )
+    scored = inter.withColumn(
+        "jaccard",
+        F.col("overlap") / (F.col("s_size") + F.col("d_size") - F.col("overlap")),
+    ).filter(F.col("jaccard") >= min_jaccard)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_norm").orderBy(
+        F.desc("jaccard"), F.asc("eid"), F.asc("alias_norm")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("s_norm", "eid", "alias_norm", "jaccard")
+    )

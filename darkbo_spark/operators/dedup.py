@@ -1,0 +1,196 @@
+"""Deduplication family — first-class training-data-pipeline operators.
+
+* precedence_dedup — the reference's order-sensitive dedup (dense results
+  beat sparse at equal ids, ai_worker.py:240-256 behavior): NOT
+  dropDuplicates — precedence must be encoded as an explicit ordering.
+* exact_dedup — hash-groupBy on a content fingerprint.
+* minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH candidate
+  pairs (shingle → k permutations → band buckets → bucket self-join).
+* simhash — 64-bit SimHash from token hashes.
+* token_jaccard_pairs — exact n-gram/token Jaccard for oracle-sized inputs
+  (the verification twin of the LSH path).
+
+All hashing is xxhash64-derived (JVM-native, no Python); MinHash
+permutations are (aᵢ·h + bᵢ) mod p with constants from a seeded generator —
+deterministic across runs and parallelism.
+
+Scale notes: LSH bucket self-join is the scalable near-dup plan — candidate
+pairs only within equal (band, bucket) keys; exact Jaccard on candidates
+only. Giant buckets (boilerplate shingles) are the skew risk → cap bucket
+size before the self-join (`max_bucket` filter) exactly like production
+near-dup pipelines drop degenerate buckets.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 31-bit Mersenne prime: keeps (a·h + b) within int64 under ANSI arithmetic
+# (a, b, h all < 2^31 → product < 2^62). Collision rate is irrelevant for
+# MinHash banding at these signature sizes.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def precedence_dedup(df: DataFrame, key: str, precedence: str, tiebreak: list[str]) -> DataFrame:
+    """Keep exactly one row per key: lowest `precedence` value wins, then
+    tiebreak columns ascending (fully deterministic)."""
+    order = [F.asc(precedence)] + [F.asc(c) for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative (min id) per exact content fingerprint."""
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def _perm_constants(k: int, seed: int = 42) -> List[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(k)]
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingles as (id, shingle_hash). Native: split → slide via
+    transform over an index sequence — no UDF."""
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig array<bigint>[k]) — min over permuted shingle hashes."""
+    sh = shingles(df, text_col, id_col, n)
+    consts = _perm_constants(k, seed)
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded LSH over MinHash.
+    Buckets larger than `max_bucket` are dropped (boilerplate skew guard)."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n, seed)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    banded = banded.join(
+        sizes.filter(F.col("sz") <= max_bucket).drop("sz"), ["band", "bucket"]
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash: per token hash, each bit votes ±1 weighted by tf; the
+    sign vector re-packs to a bigint. Native bit math only."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("bigint")
+    for i in range(64):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def token_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard for all pairs sharing ≥1 token. Oracle-sized
+    inputs only — the LSH path is the scale plan."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t = toks
+    inter = (
+        t.alias("a")
+        .join(t.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,144 @@
+"""Snapshot-versioned parquet tables: atomic publish, fingerprint skip,
+retention — the storage contract of the pipeline.
+
+Semantics preserved from the reference's index versioning (behavior:
+api/index_versioning.py:68-212): immutable version directories, a current
+pointer swapped by atomic rename, rebuild skipped when the input
+fingerprint matches the active version, keep-last-N retention.
+
+In production this layer IS Iceberg (atomic snapshot commit,
+`expire_snapshots(retain_last => N)`, fingerprint in snapshot summary
+properties); no Iceberg runtime jar ships in this sandbox, so the same
+semantics are provided over plain parquet + a JSON pointer. The pipeline
+code only touches this interface, so swapping in Iceberg is a one-module
+change.
+
+Layout:
+    {base}/{name}/v{seq:05d}_{fp8}/        parquet files (written by Spark)
+    {base}/{name}/v{seq:05d}_{fp8}/meta.json   (written LAST → commit marker)
+    {base}/{name}/current.json             atomic pointer {version, fingerprint}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, base_dir: str, name: str):
+        self.dir = os.path.join(base_dir, name)
+        self.name = name
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- pointer ------------------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.dir, "current.json")
+
+    def current(self) -> Optional[dict]:
+        p = self._pointer_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def current_fingerprint(self) -> Optional[str]:
+        cur = self.current()
+        return cur["fingerprint"] if cur else None
+
+    def _swap_pointer(self, payload: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+
+    # -- publish ------------------------------------------------------------
+    def publish(
+        self,
+        df: DataFrame,
+        fingerprint: str,
+        partition_by: Optional[list[str]] = None,
+        extra_meta: Optional[dict] = None,
+    ) -> str:
+        """Write df as a new immutable version and atomically point `current`
+        at it. If `current` already carries this fingerprint, do nothing
+        (incremental skip). Returns the version id."""
+        cur = self.current()
+        if cur and cur.get("fingerprint") == fingerprint:
+            return cur["version"]
+        seq = (cur["seq"] + 1) if cur else 1
+        version = f"v{seq:05d}_{fingerprint[:8]}"
+        vdir = os.path.join(self.dir, version)
+        data_dir = os.path.join(vdir, "data")
+        t0 = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        meta = {
+            "version": version,
+            "seq": seq,
+            "fingerprint": fingerprint,
+            "wall_s": round(time.time() - t0, 3),
+            **(extra_meta or {}),
+        }
+        # meta.json written last = commit marker (crash before this → version
+        # is invisible garbage, cleaned by expire)
+        with open(os.path.join(vdir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        self._swap_pointer({"version": version, "seq": seq, "fingerprint": fingerprint})
+        return version
+
+    # -- read ---------------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        cur = self.current()
+        if not cur:
+            raise FileNotFoundError(f"no current version for table {self.name}")
+        return spark.read.parquet(os.path.join(self.dir, cur["version"], "data"))
+
+    def data_path(self) -> str:
+        cur = self.current()
+        assert cur, f"no current version for {self.name}"
+        return os.path.join(self.dir, cur["version"], "data")
+
+    # -- retention ----------------------------------------------------------
+    def expire(self, retain_last: int = 3) -> list[str]:
+        """Delete all committed versions except the newest `retain_last`,
+        never deleting the current pointer's target. Uncommitted (no
+        meta.json) version dirs are also removed. Mirrors keep-last-N
+        retention (reference behavior api/index_versioning.py:195-212) /
+        Iceberg expire_snapshots."""
+        cur = self.current()
+        keep = {cur["version"]} if cur else set()
+        versions = sorted(
+            d for d in os.listdir(self.dir)
+            if d.startswith("v") and os.path.isdir(os.path.join(self.dir, d))
+        )
+        committed = [v for v in versions if os.path.exists(os.path.join(self.dir, v, "meta.json"))]
+        uncommitted = [v for v in versions if v not in committed]
+        doomed = [v for v in committed[:-retain_last] if v not in keep] + uncommitted
+        for v in doomed:
+            shutil.rmtree(os.path.join(self.dir, v), ignore_errors=True)
+        return doomed
+
+
+def partition_metrics(spark: SparkSession, data_path: str) -> DataFrame:
+    """Per-output-file row counts for a published version — the lineage/
+    metrics evidence the north rule requires. Reads only parquet footers'
+    worth of work (count per file)."""
+    df = spark.read.parquet(data_path)
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .count()
+        .select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("partition_file"),
+            F.col("count").alias("rows"),
+        )
+    )
