@@ -1,0 +1,100 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] plus the KG pipeline on a synthetic pages table,
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed to full materialization (noop sink for wide results,
+collect for top-k results). The KG pipeline runs against a fresh output dir
+(no checkpoint skip) and reports docs/sec alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+HEADLINE = [
+    "flagship_relevance_topk",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "region_rollup",
+    "tfidf_topk",
+    "dense_topk",
+    "token_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "dedup_first_wins",
+    "running_totals",
+    "sessionize_events",
+    "exact_dedup_docs",
+    "quality_scores",
+    "clean_text_parity",
+    "merge_upsert",
+    "source_checksums",
+]
+
+KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "20000"))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from darkbo_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("darkbo-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="bench_ckpt_"))
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # full materialization without driver-transfer bias
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline end-to-end (fresh dir -> no fingerprint skip)
+    from darkbo_spark.kg.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="bench_kg_")
+    t0 = time.time()
+    run_pipeline(spark, out, n_pages=KG_PAGES, seed=42)
+    kg_wall = time.time() - t0
+    timings["kg_pipeline"] = round(kg_wall, 3)
+    shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_pages": KG_PAGES,
+                "kg_docs_per_sec": round(KG_PAGES / kg_wall, 2),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -350,6 +350,96 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval (the reference's core query: dense ∪ sparse ∪ basic with
+# dense-first precedence dedup + top-k)
+# ---------------------------------------------------------------------------
+
+_HYBRID_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score,
+         0 AS pri
+  FROM embeddings e, q
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+  SELECT token, ln((SELECT n_docs + 1 FROM n) * 1.0 / (COUNT(*) + 1)) + 1 AS idf
+  FROM tf GROUP BY token
+),
+sparse AS (
+  SELECT tf.doc_id AS id,
+         CAST(SUM(CAST(ROUND(tf.tf * idf.idf, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score,
+         1 AS pri
+  FROM tf JOIN idf USING (token)
+  WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
+  GROUP BY tf.doc_id
+),
+basic AS (
+  SELECT doc_id AS id,
+         {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} AS score,
+         2 AS pri
+  FROM documents
+  WHERE {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} > 0
+),
+unioned AS (
+  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM basic
+)
+SELECT id, score,
+       CASE pri WHEN 0 THEN 'dense' WHEN 1 THEN 'sparse' ELSE 'basic' END AS search_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pri ASC, score DESC) AS rk
+  FROM unioned
+) WHERE rk = 1
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
+@_q("hybrid_search", _HYBRID_ORACLE)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.hybrid import hybrid_merge
+    from darkbo_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    dense = emb.crossJoin(F.broadcast(qvec)).select(
+        F.col("vec_id").alias("id"),
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs).withColumn(
+        "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
+    )
+    qterms = spark.createDataFrame([(t,) for t in _TFIDF_TERMS], ["token"])
+    sparse = (
+        postings.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("tf_idf").cast("double").alias("score"))
+        .select(F.col("doc_id").alias("id"), "score")
+    )
+    basic = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            relevance_score_col(
+                FLAGSHIP_QUERY, F.lower("text"), F.lower("source")
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    return hybrid_merge({"dense": dense, "sparse": sparse, "basic": basic}, top_k=10)
+
+
+# ---------------------------------------------------------------------------
 # Hash-agg checksum (A4)
 # ---------------------------------------------------------------------------
 
@@ -616,6 +706,45 @@ def content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Keyword routing predicate (P4) — pseudo-questions built from part names
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.operators.routing import route_query, route_query_sql  # noqa: E402
+
+_ROUTE_Q = "concat('what is the latest ', p_type, ' available today')"
+
+
+@_q(
+    "route_queries",
+    f"""
+SELECT p_partkey, {route_query_sql(_ROUTE_Q)} AS route
+FROM part
+""",
+)
+def route_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    question = F.concat(
+        F.lit("what is the latest "), F.col("p_type"), F.lit(" available today")
+    )
+    return p.select("p_partkey", route_query(question).alias("route"))
+
+
+# ---------------------------------------------------------------------------
+# Chunking (P2) — rows-only (byte-exact python chunker; pytest-verified)
+# ---------------------------------------------------------------------------
+
+@_q("chunk_documents")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.functions.textnorm import create_chunks_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(create_chunks_udf(F.col("text"))).alias("chunk_index", "chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Title derivation (P8)
 # ---------------------------------------------------------------------------
 
@@ -662,6 +791,55 @@ def clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(clean_text_udf(F.col("text"))).alias("clean_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding + multimodal operators (rows-only — deterministic-stub codecs;
+# plumbing verified in tests/test_multimodal.py and tests/test_embed.py)
+# ---------------------------------------------------------------------------
+
+@_q("embed_documents")
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.functions.embed import embed_udf
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", embed_udf(F.col("text")).alias("embedding"))
+    )
+
+
+@_q("media_decode")
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.multimodal.binary_ops import decode_metadata, synth_media
+
+    return decode_metadata(synth_media(spark, 200))
+
+
+@_q("media_features")
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.multimodal.binary_ops import byte_histogram_features, synth_media
+
+    return byte_histogram_features(synth_media(spark, 200))
+
+
+@_q("media_frame_sample")
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.multimodal.binary_ops import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 200), every_k=2)
+
+
+@_q("fuzzy_link_candidates")
+def fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.link import fuzzy_candidates
+    from darkbo_spark.kg.pages import entity_dictionary_df
+
+    surfaces = spark.createDataFrame(
+        [("acme systems incorporated",), ("global holdings",), ("the quantum labs",)],
+        ["surface"],
+    )
+    return fuzzy_candidates(surfaces, entity_dictionary_df(spark), min_jaccard=0.3)
 
 
 # ---------------------------------------------------------------------------

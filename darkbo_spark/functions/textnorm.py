@@ -15,7 +15,13 @@ import re
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from darkbo_spark import reference_impl as ref
 
@@ -76,3 +82,32 @@ def extract_triples_udf(sentences: pd.Series) -> pd.Series:
         ]
 
     return sentences.map(_one)
+
+
+# Fused S+T: one Arrow crossing per document instead of two (segment UDF +
+# per-sentence extract UDF). Same reference functions → identical output;
+# the hot-path form the pipeline uses.
+DOC_TRIPLES_STRUCT = ArrayType(
+    StructType(
+        [
+            StructField("sent_idx", IntegerType()),
+            StructField("subj", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(DOC_TRIPLES_STRUCT)
+def doc_triples_udf(text: pd.Series) -> pd.Series:
+    def _one(t: str | None):
+        if not t:
+            return []
+        out = []
+        for i, sent in enumerate(ref.split_sentences(t)):
+            for s, p, o in ref.extract_triples(sent):
+                out.append({"sent_idx": i, "subj": s, "pred": p, "obj": o})
+        return out
+
+    return text.map(_one)

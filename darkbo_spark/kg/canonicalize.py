@@ -20,12 +20,35 @@ from darkbo_spark.kg.link import _norm
 from darkbo_spark.operators.components import connected_components
 
 
-def canonicalize_entities(entity_dict: DataFrame, max_iter: int = 25) -> DataFrame:
+# above this many alias rows the dictionary is no longer broadcast-sized and
+# canonicalization must run distributed (iterative DataFrame joins)
+DRIVER_CC_LIMIT = 2_000_000
+
+
+def canonicalize_entities(
+    entity_dict: DataFrame, max_iter: int = 25, mode: str = "auto"
+) -> DataFrame:
     """→ (eid, canon_eid): mapping from dictionary eid to merged component
-    representative eid (min eid in the alias-connected cluster)."""
+    representative eid (min eid in the alias-connected cluster).
+
+    mode:
+    * "distributed" — connected components via iterative DataFrame joins
+      (operators/components.py). The plan for open-vocabulary dictionaries.
+    * "driver"      — union-find on the collected (eid, alias) pairs. The
+      canonical dictionary is by definition broadcast-bounded (it is the
+      broadcast side of the link join), so when it fits, a driver-side
+      union-find is strictly better than ~6 shuffle rounds over tiny data.
+    * "auto"        — driver iff the pair count is under DRIVER_CC_LIMIT.
+
+    Both paths produce the identical mapping (asserted in tests).
+    """
     pairs = entity_dict.select(
         "eid", _norm(F.col("alias")).alias("alias_norm")
     ).distinct()
+    if mode == "auto":
+        mode = "driver" if pairs.count() <= DRIVER_CC_LIMIT else "distributed"
+    if mode == "driver":
+        return _driver_cc(pairs)
     edges = pairs.select(
         F.concat(F.lit("e:"), "eid").alias("src"),
         F.concat(F.lit("a:"), "alias_norm").alias("dst"),
@@ -37,6 +60,71 @@ def canonicalize_entities(entity_dict: DataFrame, max_iter: int = 25) -> DataFra
     # representative = min eid within each component
     rep = e_nodes.groupBy("comp").agg(F.min("eid").alias("canon_eid"))
     return e_nodes.join(rep, "comp").select("eid", "canon_eid")
+
+
+def _driver_cc(pairs: DataFrame) -> DataFrame:
+    """Union-find over collected (eid, alias_norm) pairs; representative =
+    min eid per alias-connected cluster (same labels as the distributed
+    path)."""
+    rows = [(r.eid, r.alias_norm) for r in pairs.collect()]
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for eid, alias in rows:
+        union("e:" + eid, "a:" + alias)
+    clusters: dict[str, str] = {}
+    for eid, _ in rows:
+        root = find("e:" + eid)
+        cur = clusters.get(root)
+        if cur is None or eid < cur:
+            clusters[root] = eid
+    out = [(eid, clusters[find("e:" + eid)]) for eid in {e for e, _ in rows}]
+    spark = pairs.sparkSession
+    # pandas → Arrow createDataFrame (the list form takes the slow
+    # RDD-pickle path and spins a python task for a 400-row table)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(sorted(out), columns=["eid", "canon_eid"])
+    )
+
+
+def build_entity_table_driver(entity_dict: DataFrame, eid_map: DataFrame) -> DataFrame:
+    """Driver-side twin of build_entity_table for broadcast-bounded
+    dictionaries (identical output, asserted in tests): the shuffles and
+    codegen of three joins/groupBys on a 3k-row table are pure fixed cost."""
+    import pandas as pd
+
+    dict_pdf = entity_dict.select("eid", "canonical", "alias").toPandas()
+    map_pdf = eid_map.toPandas()
+    canon_of = dict(zip(map_pdf["eid"], map_pdf["canon_eid"]))
+    canonical_name: dict[str, str] = {}
+    aliases: dict[str, set] = {}
+    for r in dict_pdf.itertuples():
+        rep = canon_of[r.eid]
+        aliases.setdefault(rep, set()).add(r.alias)
+        if r.eid == rep:
+            cur = canonical_name.get(rep)
+            if cur is None or r.canonical < cur:
+                canonical_name[rep] = r.canonical
+    rows = [
+        {"eid": rep, "canonical": canonical_name[rep], "aliases": sorted(al)}
+        for rep, al in sorted(aliases.items())
+    ]
+    spark = entity_dict.sparkSession
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["eid", "canonical", "aliases"]))
 
 
 def build_entity_table(entity_dict: DataFrame, eid_map: DataFrame) -> DataFrame:

@@ -159,7 +159,7 @@ _JUNK = ["", "", "", " • ", " ™ ", " ### ", " || "]
 _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 
-def _gen_page(seed: int, i: int, with_gt: bool) -> dict:
+def _gen_page(seed: int, i: int, with_gt: bool, with_html: bool = True) -> dict:
     rng = random.Random((seed << 34) ^ (i * 0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF))
     lang = "en" if rng.random() >= 0.10 else rng.choice(["de", "es", "fr", "zh"])
     facts: List[str] = []
@@ -233,13 +233,16 @@ def _gen_page(seed: int, i: int, with_gt: bool) -> dict:
         parts.append(rng.choice(_SEPARATORS))
     raw_text = "".join(parts)
 
-    title = f"Page {i}"
-    body = "".join(f"<p>{s}</p>\n" for s in sentences)
-    html = (
-        f"<html><head><title>{title}</title>"
-        f"<style>p {{margin: 0}}</style><script>var t={i};</script></head>"
-        f"<body>\n{body}<div class='footer'>generated</div></body></html>"
-    ).encode("utf-8")
+    if with_html:
+        title = f"Page {i}"
+        body = "".join(f"<p>{s}</p>\n" for s in sentences)
+        html = (
+            f"<html><head><title>{title}</title>"
+            f"<style>p {{margin: 0}}</style><script>var t={i};</script></head>"
+            f"<body>\n{body}<div class='footer'>generated</div></body></html>"
+        ).encode("utf-8")
+    else:
+        html = None
 
     row = {
         "page_id": i,
@@ -274,18 +277,34 @@ def synth_pages(
     seed: int = 42,
     with_ground_truth: bool = False,
     num_partitions: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Distributed deterministic pages table. Content of row i depends only
-    on (seed, i) — safe to regenerate at any parallelism."""
+    on (seed, i) — safe to regenerate at any parallelism.
+
+    `columns` emulates the column pruning a real parquet/Iceberg pages scan
+    gets for free: mapInPandas cannot be pruned by Catalyst, so callers that
+    don't need `html` (the extract stage reads `text` only) pass the subset
+    and skip shipping megabytes of binary through Arrow."""
     schema = PAGES_GT_SCHEMA if with_ground_truth else PAGES_SCHEMA
+    if columns is not None:
+        schema = StructType([f for f in schema.fields if f.name in columns])
     cols = [f.name for f in schema.fields]
+    want_html = "html" in cols
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [_gen_page(seed, int(i), with_ground_truth) for i in b["id"]]
+            rows = [
+                _gen_page(seed, int(i), with_ground_truth, want_html) for i in b["id"]
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
-    base = spark.range(0, n_pages, numPartitions=num_partitions or max(8, n_pages // 5000))
+    if num_partitions is None:
+        # 2-4 partitions per core: enough granularity to load-balance the
+        # python generator without drowning small runs in task overhead
+        cores = spark.sparkContext.defaultParallelism
+        num_partitions = max(2 * cores, min(n_pages // 2500, 4 * cores), 8)
+    base = spark.range(0, n_pages, numPartitions=num_partitions)
     return base.mapInPandas(gen, schema=schema)
 
 

@@ -30,15 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from darkbo_spark.kg.canonicalize import (
-    build_entity_table,
+    build_entity_table_driver,
     canonicalize_entities,
-    remap_triples,
 )
 from darkbo_spark.kg.extract import extract_docs
 from darkbo_spark.kg.link import link_entities
 from darkbo_spark.kg.materialize import bucketize_triples
 from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
-from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
+from darkbo_spark.kg.triples import extract_doc_triples_df
 from darkbo_spark.storage.snapshots import SnapshotTable, partition_metrics
 
 CODE_VERSION = "1"
@@ -54,6 +53,7 @@ class PipelineResult:
     stages_run: list = field(default_factory=list)
     stages_skipped: list = field(default_factory=list)
     rows: dict = field(default_factory=dict)
+    timings: dict = field(default_factory=dict)  # name -> wall seconds
 
 
 def run_pipeline(
@@ -64,13 +64,22 @@ def run_pipeline(
     seed: int = 42,
     link_strategy: str = "broadcast",
     n_buckets: int = 32,
+    write_salt: int = 8,
     input_fingerprint: str | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; every stage is fingerprint-gated."""
     res = PipelineResult()
     run_t0 = time.time()
     if pages is None:
-        pages = synth_pages(spark, n_pages, seed=seed)
+        # html is omitted: the extract stage reads `text` only, and a real
+        # Iceberg pages scan would prune the binary column anyway (the
+        # generator emulates that pruning — mapInPandas can't be pruned)
+        pages = synth_pages(
+            spark,
+            n_pages,
+            seed=seed,
+            columns=["page_id", "url", "warc_ts", "text", "lang"],
+        )
         input_fingerprint = input_fingerprint or _fp("synth_pages", str(n_pages), str(seed))
     assert input_fingerprint, "provide input_fingerprint for external pages input"
 
@@ -89,7 +98,8 @@ def run_pipeline(
         tbl.publish(df, fp, partition_by=partition_by)
         wall = time.time() - t0
         res.stages_run.append(name)
-        pm = partition_metrics(spark, tbl.data_path()).collect()
+        res.timings[name] = round(wall, 3)
+        pm = partition_metrics(spark, tbl.data_path())
         n = 0
         for r in pm:
             n += r["rows"]
@@ -105,47 +115,75 @@ def run_pipeline(
         res.rows[name] = n
         return tbl, fp
 
-    # ---- fused E→S→T (narrow maps, single pass, one persisted output) ----
-    def build_triples():
-        docs = extract_docs(pages)
-        sents = segment_sentences(docs)
-        return extract_raw_triples(sents), None
-
-    triples_tbl, fp_t = stage("raw_triples", input_fingerprint, "en_only", build_triples)
-
-    # docs table is also persisted (byte-identical text is a deliverable of
-    # its own — golden tests and downstream consumers read it)
+    # ---- E: extract (the expensive byte-exact UDF runs exactly ONCE) ----
     def build_docs():
         return extract_docs(pages), None
 
     docs_tbl, fp_d = stage("docs", input_fingerprint, "clean_v1", build_docs)
 
-    # ---- L: link --------------------------------------------------------
+    # ---- fused S→T over the persisted docs (ONE UDF pass, one explode) ----
+    def build_triples():
+        return extract_doc_triples_df(docs_tbl.read(spark)), None
+
+    triples_tbl, fp_t = stage("raw_triples", fp_d, "en_only", build_triples)
+
+    # ---- C: canonicalize (depends only on the dictionary, so it runs
+    # BEFORE linking; CC runs once, its dictionary-sized map is persisted) --
     entity_dict = entity_dictionary_df(spark)
 
-    def build_linked():
-        raw = triples_tbl.read(spark)
-        return link_entities(raw, entity_dict, strategy=link_strategy), None
+    # dictionary-sized outputs: driver union-find (identical to the
+    # distributed CC — asserted in tests) and single-file publishes; the
+    # full Spark write machinery on a 3k-row table is pure fixed cost
+    def build_eid_map():
+        return canonicalize_entities(entity_dict, mode="driver").coalesce(1), None
 
-    linked_tbl, fp_l = stage("linked_triples", fp_t, f"link_{link_strategy}", build_linked)
+    eidmap_tbl, fp_m = stage("eid_map", input_fingerprint, "cc_v1", build_eid_map)
 
-    # ---- C: canonicalize --------------------------------------------------
     def build_entities():
-        eid_map = canonicalize_entities(entity_dict)
-        return build_entity_table(entity_dict, eid_map), None
+        return (
+            build_entity_table_driver(entity_dict, eidmap_tbl.read(spark)).coalesce(1),
+            None,
+        )
 
-    entities_tbl, fp_e = stage("kg_entities", fp_l, "cc_v1", build_entities)
+    entities_tbl, fp_e = stage("kg_entities", fp_m, "entities_v1", build_entities)
 
-    # ---- M: materialize ----------------------------------------------------
+    # ---- fused L+M: link → bucketize in ONE pass --------------------------
+    # The link dictionary is pre-resolved to CANONICAL ids (dict ⋈ eid_map,
+    # both dictionary-sized, folded on the small side), so linking attaches
+    # canonical entity ids directly — two broadcast joins total instead of
+    # link + remap (four). Materializing an intermediate `linked` table
+    # would only add a full write+read of every triple; resume granularity
+    # stays per-stage (a crash here re-reads persisted raw_triples, never
+    # re-extracts). The output is written flat, clustered one-file-per
+    # (bucket, salt) by the repartition — with Iceberg this is hidden
+    # partitioning `bucket(N, subj_eid)`; file-level min/max stats on
+    # subj_bucket give the same pruning locally without the dynamic
+    # partitionBy writer's per-task sort.
     def build_kg():
-        eid_map = canonicalize_entities(entity_dict)
-        remapped = remap_triples(linked_tbl.read(spark), eid_map)
-        return bucketize_triples(remapped, n_buckets=n_buckets), ["subj_bucket"]
+        eid_map = eidmap_tbl.read(spark)
+        resolved_dict = entity_dict.join(eid_map, "eid").select(
+            "alias", F.col("canon_eid").alias("eid")
+        )
+        linked = link_entities(
+            triples_tbl.read(spark), resolved_dict, strategy=link_strategy
+        )
+        return (
+            bucketize_triples(linked, n_buckets=n_buckets, write_salt=write_salt),
+            None,
+        )
 
-    kg_tbl, fp_k = stage("kg_triples", fp_l + fp_e, f"buckets_{n_buckets}", build_kg)
+    kg_tbl, fp_k = stage(
+        "kg_triples",
+        fp_t + fp_m,
+        f"linkc_{link_strategy}_buckets_{n_buckets}_salt_{write_salt}",
+        build_kg,
+    )
 
     if metrics_rows:
-        mdf = spark.createDataFrame(metrics_rows)
+        import pandas as pd
+
+        # pandas → Arrow path (a plain list takes the slow RDD-pickle path)
+        mdf = spark.createDataFrame(pd.DataFrame(metrics_rows)).coalesce(1)
         metrics_tbl.publish(mdf, _fp("metrics", fp_k, str(run_t0)))
     for t in res.tables.values():
         t.expire(retain_last=3)

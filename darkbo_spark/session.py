@@ -44,5 +44,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # v2 commit: per-task output promotion instead of a serial driver
+        # rename pass per write (matters at many-files-per-stage)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     return builder.getOrCreate()

@@ -1,0 +1,124 @@
+"""Document ingestion (§3.3): raw files → cleaned text → overlapping chunks
+→ content-addressed KB rows. The Spark restatement of the reference's
+upload path (behavior: ai_worker.py:970-1055 → document_processor
+extract/clean/chunk → KBEntry rows with uuid5 ids and chunk_index).
+
+PDF/DOCX text extraction (S5/S6) is gated behind import-try exactly like
+the reference gates its optional dependencies: when the libraries are
+absent, those rows fall to the placeholder source (S8) instead of failing
+the batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from darkbo_spark.functions.ids import uuid5_col
+from darkbo_spark.functions.textnorm import clean_text_udf, create_chunks_udf
+
+try:  # S5 — optional, like the reference's HAS_PDF gate
+    import PyPDF2  # noqa: F401
+
+    HAS_PDF = True
+except ImportError:
+    HAS_PDF = False
+
+try:  # S6 — optional, like HAS_DOCX
+    from docx import Document as _DocxDocument  # noqa: F401
+
+    HAS_DOCX = True
+except ImportError:
+    HAS_DOCX = False
+
+PLACEHOLDER_TEXT = (
+    "This document could not be processed automatically. "
+    "Please contact support for assistance with this file."
+)  # S8 — fixed placeholder for unprocessable files
+
+
+@pandas_udf(StringType())
+def extract_file_text_udf(path: pd.Series, content: pd.Series) -> pd.Series:
+    """Extract raw text from file bytes by extension. txt/md decode with
+    latin-1 fallback; pdf/docx go through the optional libraries when
+    present; anything else yields the placeholder."""
+
+    def one(p: str, b: bytes | None) -> str:
+        ext = (p or "").lower().rsplit(".", 1)[-1]
+        if b is None:
+            return PLACEHOLDER_TEXT
+        if ext in ("txt", "md"):
+            try:
+                return b.decode("utf-8")
+            except UnicodeDecodeError:
+                return b.decode("latin-1")
+        if ext == "pdf" and HAS_PDF:
+            import io
+
+            reader = PyPDF2.PdfReader(io.BytesIO(b))
+            pages = []
+            for page in reader.pages:
+                try:
+                    t = page.extract_text()
+                    if t.strip():
+                        pages.append(t)
+                except Exception:
+                    continue
+            return "\n\n".join(pages)
+        if ext in ("docx", "doc") and HAS_DOCX:
+            import io
+
+            doc = _DocxDocument(io.BytesIO(b))
+            parts = [p.text for p in doc.paragraphs if p.text.strip()]
+            for table in doc.tables:
+                for row in table.rows:
+                    cells = [c.text.strip() for c in row.cells if c.text.strip()]
+                    if cells:
+                        parts.append(" | ".join(cells))
+            return "\n\n".join(parts)
+        return PLACEHOLDER_TEXT
+
+    return pd.Series([one(p, b) for p, b in zip(path, content)])
+
+
+def derive_title(path: F.Column) -> F.Column:
+    """P8 — file stem → title: '_'/'-' → space, initcap (behavior
+    api/document_processor.py:245-246)."""
+    stem = F.regexp_extract(F.element_at(F.split(path, "/"), -1), r"^(.*?)(\.[^.]*)?$", 1)
+    return F.initcap(F.translate(stem, "_-", "  "))
+
+
+def ingest_documents(files: DataFrame, project_id: str) -> DataFrame:
+    """files(path, content:binary) → KB chunk rows:
+    (id, article, content, chunk_index, source, source_file, project_id).
+
+    One narrow pass: extract → clean (byte-identical P1) → chunk (P2) →
+    posexplode → uuid5 ids. Exactly the §3.2 pipeline's first half applied
+    to an ingestion micro-batch; the streaming form reuses this function in
+    foreachBatch."""
+    cleaned = files.select(
+        F.col("path"),
+        derive_title(F.col("path")).alias("article"),
+        clean_text_udf(extract_file_text_udf(F.col("path"), F.col("content"))).alias(
+            "text"
+        ),
+    )
+    chunks = cleaned.select(
+        "path",
+        "article",
+        F.posexplode(create_chunks_udf(F.col("text"))).alias("chunk_index", "content"),
+    )
+    return chunks.select(
+        uuid5_col(
+            "kb", F.lit(project_id), F.col("article"), F.sha2("content", 256)
+        ).alias("id"),
+        "article",
+        "content",
+        "chunk_index",
+        F.lit("document_upload").alias("source"),
+        F.element_at(F.split("path", "/"), -1).alias("source_file"),
+        F.lit(project_id).alias("project_id"),
+    )

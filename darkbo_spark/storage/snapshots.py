@@ -129,16 +129,55 @@ class SnapshotTable:
         return doomed
 
 
-def partition_metrics(spark: SparkSession, data_path: str) -> DataFrame:
+class BuildLock:
+    """I2 — single-writer build lock: atomic O_EXCL lock file carrying the
+    owner id, with stale-lock takeover (reference behavior:
+    api/index_versioning.py:91-116). Iceberg's optimistic commit retry makes
+    this unnecessary in production; kept for parity and for local runs."""
+
+    def __init__(self, base_dir: str, name: str, stale_after_s: float = 3600.0):
+        self.path = os.path.join(base_dir, f".{name}.lock")
+        self.stale_after_s = stale_after_s
+
+    def acquire(self, owner: str) -> bool:
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if time.time() - os.path.getmtime(self.path) > self.stale_after_s:
+                os.remove(self.path)  # stale takeover
+                return self.acquire(owner)
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump({"owner": owner, "ts": time.time()}, f)
+        return True
+
+    def owner(self) -> Optional[str]:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f).get("owner")
+
+    def release(self, owner: str) -> None:
+        if self.owner() == owner:
+            os.remove(self.path)
+
+
+def partition_metrics(spark: SparkSession, data_path: str) -> list[dict]:
     """Per-output-file row counts for a published version — the lineage/
-    metrics evidence the north rule requires. Reads only parquet footers'
-    worth of work (count per file)."""
-    df = spark.read.parquet(data_path)
-    return (
-        df.groupBy(F.input_file_name().alias("file"))
-        .count()
-        .select(
-            F.element_at(F.split(F.col("file"), "/"), -1).alias("partition_file"),
-            F.col("count").alias("rows"),
+    metrics evidence the north rule requires. Reads ONLY parquet footers via
+    pyarrow on the driver (no cluster job): milliseconds per stage instead
+    of a full Spark round trip. On an object store this would be the
+    manifest row counts Iceberg already tracks per data file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(data_path, "**", "*.parquet"), recursive=True)):
+        out.append(
+            {
+                "partition_file": os.path.relpath(f, data_path),
+                "rows": pq.ParquetFile(f).metadata.num_rows,
+            }
         )
-    )
+    return out

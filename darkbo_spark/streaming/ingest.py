@@ -1,0 +1,159 @@
+"""Structured Streaming twins of the batch pipeline.
+
+The reference ingests documents via an upload endpoint and triggers an
+incremental rebuild (behavior: ai_worker.py:970-1055 → prebuild); the
+streaming restatement is `readStream` over the landing path with
+`foreachBatch` running exactly the batch stage transforms per micro-batch —
+one code path for batch and stream.
+
+* `stream_pages_to_triples` — file-source stream of pages parquet →
+  extract+segment+extract-triples per micro-batch, appended to a triples
+  sink; checkpointLocation gives exactly-once per-batch resume.
+* `windowed_triple_counts` — tumbling-window counts with a watermark for
+  late data (the per-window metrics rows of the north rule in streaming
+  form).
+* `sessionize_stream` — custom stateful operator via
+  applyInPandasWithState: the streaming twin of operators/events.sessionize
+  (gap-based sessions with per-user state and processing-time timeout).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from darkbo_spark.kg.extract import extract_docs
+from darkbo_spark.kg.pages import PAGES_SCHEMA
+from darkbo_spark.kg.triples import extract_doc_triples_df
+
+
+def stream_pages_to_triples(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+):
+    """File-source streaming ingest: each new parquet file of pages becomes
+    a micro-batch run through the SAME batch transforms. Returns the
+    StreamingQuery (caller awaits / stops)."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = extract_doc_triples_df(extract_docs(batch_df))
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark (streaming DF in →
+    streaming DF out; also works on a batch DF for testing the plan)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", window).alias("win"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+        ts_list.sort()
+        closed = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_list[0], ts_list[0], 0
+        for t in ts_list:
+            if t - last_us > gap_seconds * 1_000_000:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessions per user via
+    applyInPandasWithState (per-user state = open session; a session closes
+    when a later event exceeds the gap, or on processing-time timeout)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60),
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

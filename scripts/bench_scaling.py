@@ -1,0 +1,123 @@
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency ≥ 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the same spark-submit job runs
+at two parallelism levels on one box. Pair choice matters for honesty of
+the emulation: a local[N] run with Arrow UDF stages keeps ~2N threads busy
+(N JVM task threads + N Python workers execute in a pipeline), so the
+largest 4N level that does NOT oversubscribe this 32-vCPU box is
+local[8] — hence N=2 (local[2]) vs 4N=8 (local[8]). Each level runs
+`trials` times interleaved (the box has noisy-neighbor background load;
+best-of-trials estimates capacity); each run is a fresh JVM + fresh output
+dir (no checkpoint skip) with a worker warm-up excluded from timing.
+
+Efficiency = (docs_per_sec@4N / docs_per_sec@N) / 4.
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PAGES = int(os.environ.get("SCALING_PAGES", "1000000"))
+LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")]
+TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
+
+
+def run_level(cores: int) -> dict:
+    out = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    # pin each level to a cpuset of 2×cores: a local[k] Arrow-UDF job keeps
+    # ~2k threads busy (k JVM task threads + k python workers), and a real
+    # k-core executor HOST would confine its JVM helper threads (GC, codec,
+    # shuffle IO) to that host's cores too — unpinned, the small level
+    # borrows the whole box's spare cores and inflates its throughput
+    cmd = [
+        "taskset", "-c", f"0-{2 * cores - 1}",
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        os.path.join(REPO, "scripts", "run_kg.py"),
+        "--pages", str(PAGES),
+        "--seed", "42",
+        "--out", out,
+        "--cores", str(cores),
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"run failed at local[{cores}]:\n{proc.stderr[-2000:]}")
+    res = json.loads(lines[-1])
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+def main() -> int:
+    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for t in range(TRIALS):
+        for c in LEVELS:  # interleaved so background noise hits both levels
+            runs[c].append(run_level(c))
+            os.system("sync")  # flush page cache pressure between runs
+            time.sleep(20)
+    best = {c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()}
+    n, n4 = LEVELS
+    t_n, t_4n = best[n]["docs_per_sec"], best[n4]["docs_per_sec"]
+    eff = (t_4n / t_n) / (n4 / n)
+    summary = {
+        "pages": PAGES,
+        "levels": LEVELS,
+        "trials": TRIALS,
+        f"docs_per_sec_local{n}": t_n,
+        f"docs_per_sec_local{n4}": t_4n,
+        "all_trials": {str(c): [r["docs_per_sec"] for r in rs] for c, rs in runs.items()},
+        "speedup": round(t_4n / t_n, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH baseline — measured scaling evidence
+
+North rule: ≥0.8 throughput scaling efficiency from N to 4N executors.
+Sandbox stand-in: the SAME end-to-end KG pipeline job (synthetic
+Common-Crawl pages, seed=42, {PAGES} pages) run via separate
+`spark-submit` JVMs at `local[{n}]` (N) and `local[{n4}]` (4N).
+
+Why {n}/{n4} and not 8/32: an Arrow-UDF stage at local[k] keeps ~2k
+threads busy (k JVM task threads + k pipelined Python workers), so
+local[{n4}] is the largest 4N level that does not oversubscribe this
+32-vCPU box — oversubscription would measure scheduler contention, not
+scaling. Each level is pinned (`taskset`) to a cpuset of 2× its core
+count, emulating executor HOSTS: unpinned, the small level borrows the
+whole box's spare cores for JVM helper threads and inflates its
+throughput. Runs are interleaved best-of-{TRIALS} (noisy-neighbor
+background load on the shared box); fresh output dir each run (no
+checkpoint skip); python-worker warm-up excluded from timing.
+
+| parallelism | docs/sec (best of {TRIALS}) | all trials |
+|---|---|---|
+| local[{n}]  (N)  | {t_n} | {summary['all_trials'][str(n)]} |
+| local[{n4}] (4N) | {t_4n} | {summary['all_trials'][str(n4)]} |
+
+**Speedup:** {summary['speedup']}×  → **scaling efficiency: {summary['scaling_efficiency']}**
+(target ≥ 0.8: {"PASS" if summary['pass'] else "FAIL"})
+
+Stage rows at both levels identical (deterministic per-row seeded
+generation): {best[n]['rows']}
+Per-stage wall seconds at N={best[n]['timings']} and 4N={best[n4]['timings']}
+"""
+        )
+    print(json.dumps(summary))
+    return 0 if summary["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

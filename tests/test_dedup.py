@@ -1,0 +1,93 @@
+"""Dedup family: exact, precedence, MinHash-LSH vs exact Jaccard, SimHash."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from darkbo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    precedence_dedup,
+    simhash,
+    token_jaccard_pairs,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra"),  # near dup of 0
+        (3, "completely different content about spark partitions and shuffles"),
+        (4, "completely different content about spark partitions and shuffles ok"),
+        (5, "nothing shared with anyone else in this tiny corpus at all"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").select("doc_id").collect()
+    kept = {r.doc_id for r in out}
+    assert 0 in kept and 1 not in kept
+    assert kept == {0, 2, 3, 4, 5}
+
+
+def test_precedence_dedup_not_drop_duplicates(spark):
+    rows = [("a", 1, "x1"), ("a", 0, "x2"), ("b", 2, "x3")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "pri", "val"]))
+    out = {r.id: r.val for r in precedence_dedup(df, "id", "pri", ["val"]).collect()}
+    assert out == {"a": "x2", "b": "x3"}  # lowest pri wins, not first-seen
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide in every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert (0, 5) not in pairs and (3, 5) not in pairs
+
+
+def test_minhash_signature_deterministic(spark):
+    docs = _docs(spark)
+    s1 = {r.doc_id: r.sig for r in minhash_signatures(docs, "text", "doc_id").collect()}
+    s2 = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(
+            docs.repartition(7), "text", "doc_id"
+        ).collect()
+    }
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text → identical signature
+
+
+def test_lsh_pairs_contain_high_jaccard_pairs(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in token_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=8).collect()
+    }
+    assert exact <= lsh  # high-sim pairs must all surface as LSH candidates
+
+
+def test_simhash_properties(spark):
+    docs = _docs(spark)
+    h1 = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    h2 = {
+        r.doc_id: r.simhash
+        for r in simhash(docs.repartition(5), "text", "doc_id").collect()
+    }
+    assert h1 == h2  # partition-invariant
+    assert h1[0] == h1[1]  # identical docs → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(h1[0], h1[2]) < hamming(h1[0], h1[5])  # near-dup closer

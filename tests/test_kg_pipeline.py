@@ -82,6 +82,33 @@ def test_linking_against_generator_ground_truth(spark):
     assert checked > 20
 
 
+def test_canonicalize_driver_equals_distributed(spark):
+    from darkbo_spark.kg.canonicalize import (
+        build_entity_table,
+        build_entity_table_driver,
+        canonicalize_entities,
+    )
+
+    d = entity_dictionary_df(spark)
+    a = {(r.eid, r.canon_eid) for r in canonicalize_entities(d, mode="driver").collect()}
+    b = {
+        (r.eid, r.canon_eid)
+        for r in canonicalize_entities(d, mode="distributed").collect()
+    }
+    assert a == b and len(a) > 0
+
+    m = canonicalize_entities(d, mode="driver")
+    ea = {
+        (r.eid, r.canonical, tuple(r.aliases))
+        for r in build_entity_table_driver(d, m).collect()
+    }
+    eb = {
+        (r.eid, r.canonical, tuple(r.aliases))
+        for r in build_entity_table(d, m).collect()
+    }
+    assert ea == eb
+
+
 def test_salted_equals_broadcast(spark):
     pages = synth_pages(spark, 40, seed=5)
     raw = extract_raw_triples(segment_sentences(extract_docs(pages)))
@@ -96,7 +123,7 @@ def test_resume_skips_everything(spark, out_dir, result):
     res2 = run_pipeline(spark, out_dir, n_pages=N_PAGES, seed=SEED)
     assert res2.stages_run == []
     assert set(res2.stages_skipped) == {
-        "raw_triples", "docs", "linked_triples", "kg_entities", "kg_triples",
+        "docs", "raw_triples", "eid_map", "kg_entities", "kg_triples",
     }
 
 
@@ -107,11 +134,11 @@ def test_resume_after_partial_kill(spark, out_dir, result):
         (r.triple_id, r.subj_eid, r.obj_eid)
         for r in result.tables["kg_triples"].read(spark).collect()
     }
-    for t in ["linked_triples", "kg_entities", "kg_triples"]:
+    for t in ["eid_map", "kg_entities", "kg_triples"]:
         os.remove(os.path.join(out_dir, t, "current.json"))
     res3 = run_pipeline(spark, out_dir, n_pages=N_PAGES, seed=SEED)
     assert "raw_triples" in res3.stages_skipped and "docs" in res3.stages_skipped
-    assert set(res3.stages_run) == {"linked_triples", "kg_entities", "kg_triples"}
+    assert set(res3.stages_run) == {"eid_map", "kg_entities", "kg_triples"}
     after = {
         (r.triple_id, r.subj_eid, r.obj_eid)
         for r in res3.tables["kg_triples"].read(spark).collect()
@@ -131,5 +158,5 @@ def test_metrics_and_retention(spark, out_dir, result):
     mt = SnapshotTable(out_dir, "_metrics")
     rows = mt.read(spark).collect()
     stages = {r.stage for r in rows}
-    assert {"raw_triples", "linked_triples", "kg_triples"} <= stages
+    assert {"docs", "raw_triples", "kg_triples"} <= stages
     assert all(r.rows >= 0 for r in rows)

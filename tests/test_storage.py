@@ -1,0 +1,65 @@
+"""Snapshot storage: atomic publish, fingerprint skip, retention, lock."""
+
+import os
+
+import pandas as pd
+
+from darkbo_spark.storage.snapshots import BuildLock, SnapshotTable
+
+
+def _df(spark, n):
+    return spark.createDataFrame(pd.DataFrame({"x": range(n)}))
+
+
+def test_publish_skip_and_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t1")
+    v1 = t.publish(_df(spark, 5), "fp_a")
+    assert t.read(spark).count() == 5
+    # same fingerprint → no new version
+    assert t.publish(_df(spark, 99), "fp_a") == v1
+    assert t.read(spark).count() == 5
+    # new fingerprint → new version, pointer moves
+    v2 = t.publish(_df(spark, 7), "fp_b")
+    assert v2 != v1
+    assert t.read(spark).count() == 7
+    assert t.current_fingerprint() == "fp_b"
+
+
+def test_retention_keeps_last_three(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t2")
+    for i in range(5):
+        t.publish(_df(spark, i + 1), f"fp_{i}")
+    doomed = t.expire(retain_last=3)
+    versions = [d for d in os.listdir(t.dir) if d.startswith("v")]
+    assert len(versions) == 3
+    assert len(doomed) == 2
+    assert t.read(spark).count() == 5  # current untouched
+
+
+def test_uncommitted_version_invisible_and_cleaned(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t3")
+    t.publish(_df(spark, 3), "fp_x")
+    # simulate a crash mid-publish: version dir without meta.json
+    os.makedirs(os.path.join(t.dir, "v99999_deadbeef", "data"), exist_ok=True)
+    assert t.read(spark).count() == 3  # pointer still at committed version
+    t.expire(retain_last=3)
+    assert not os.path.exists(os.path.join(t.dir, "v99999_deadbeef"))
+
+
+def test_build_lock(tmp_path):
+    lock = BuildLock(str(tmp_path), "tbl")
+    assert lock.acquire("run_a")
+    assert not lock.acquire("run_b")  # held
+    assert lock.owner() == "run_a"
+    lock.release("run_b")  # non-owner release is a no-op
+    assert lock.owner() == "run_a"
+    lock.release("run_a")
+    assert lock.acquire("run_b")
+    lock.release("run_b")
+
+
+def test_stale_lock_takeover(tmp_path):
+    lock = BuildLock(str(tmp_path), "tbl2", stale_after_s=0.0)
+    assert lock.acquire("dead_run")
+    assert lock.acquire("new_run")  # stale → takeover
+    assert lock.owner() == "new_run"

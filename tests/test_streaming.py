@@ -1,0 +1,88 @@
+"""Structured Streaming: file-source ingest through the SAME batch
+transforms, watermark windowing plan, and the stateful sessionize operator —
+each checked against its batch twin."""
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from darkbo_spark import reference_impl as ref
+from darkbo_spark.kg.extract import extract_docs
+from darkbo_spark.kg.pages import synth_pages
+from darkbo_spark.kg.triples import extract_doc_triples_df
+from darkbo_spark.streaming.ingest import (
+    sessionize_stream,
+    stream_pages_to_triples,
+    windowed_event_counts,
+)
+
+
+def test_stream_ingest_equals_batch(spark, tmp_path):
+    inp = str(tmp_path / "pages_in")
+    outp = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    # two landing files = two micro-batch groups
+    synth_pages(spark, 40, seed=21).write.parquet(inp)
+    q = stream_pages_to_triples(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj)
+        for r in spark.read.parquet(outp).collect()
+    }
+    batch = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj)
+        for r in extract_doc_triples_df(
+            extract_docs(synth_pages(spark, 40, seed=21))
+        ).collect()
+    }
+    assert got == batch
+
+    # restart with no new files → checkpoint prevents re-processing
+    q2 = stream_pages_to_triples(spark, inp, outp, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(outp).count() == len(batch)
+
+
+def test_windowed_counts_batch_twin(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=m), "click") for m in [0, 1, 6, 7, 13]
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
+    out = {
+        (r.win.start.minute, r.n)
+        for r in windowed_event_counts(df, "5 minutes").collect()
+    }
+    assert out == {(0, 2), (5, 2), (10, 1)}
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        # two sessions per user: 3 events, a 90-minute gap, then 2 events
+        for m in (0, 5, 10, 100, 105):
+            rows.append((u, 1000 * u + m, base + dt.timedelta(minutes=m)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+    src = str(tmp_path / "events_in")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    done = spark.sql("select * from sessions_out").collect()
+    # the first (closed) session per user is emitted; the open one stays in
+    # state awaiting timeout
+    got = {(r.user_id, r.n_events) for r in done}
+    assert got == {(1, 3), (2, 3)}
