@@ -20,6 +20,14 @@ import tempfile
 import time
 
 
+# Task threads are capped at half the CPU budget: every Arrow-UDF task
+# occupies a JVM task thread AND a pipelined python worker, so local[cpus]
+# runs 2×cpus busy threads and thrashes (measured 3.2k docs/s at local[32]
+# vs 11.5k at local[16] on a 32-vCPU box for the same job).
+def _master_threads(cpus: int) -> int:
+    return max(2, cpus // 2)
+
+
 HEADLINE = [
     "flagship_relevance_topk",
     "q1_pricing_summary",
@@ -40,7 +48,7 @@ HEADLINE = [
     "source_checksums",
 ]
 
-KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "20000"))
+KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
 
 
 def main() -> int:
@@ -52,10 +60,20 @@ def main() -> int:
     from darkbo_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("darkbo-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus)
+    threads = _master_threads(cpus)
+    spark = get_spark("darkbo-bench", master=f"local[{threads}]",
+                      shuffle_partitions=2 * threads)
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="bench_ckpt_"))
+
+    # warm-up: JVM task threads + python/Arrow workers (startup is not
+    # query throughput)
+    from darkbo_spark.functions.textnorm import clean_text_udf
+    from pyspark.sql import functions as F
+
+    spark.range(0, 10000, numPartitions=threads).select(
+        clean_text_udf(F.lit("warm up text.")).alias("t")
+    ).write.format("noop").mode("overwrite").save()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -241,6 +241,23 @@ def upsert_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point lookup (J1): equi-probe by key — the reference scans whole JSON files
+# for one id (ai_worker.py:482-508 behavior); here it's a pushed-down filter
+# ---------------------------------------------------------------------------
+
+@_q(
+    "point_lookup",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 4242",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 4242)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semi/anti joins (resume-filter shape)
 # ---------------------------------------------------------------------------
 
@@ -688,6 +705,61 @@ def q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (beyond-reference; merge form — no row blow-up)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "asof_events_orders",
+    """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  WHERE e.user_id < 30
+)
+SELECT event_id, user_id, o_orderkey AS asof_o_orderkey FROM cand WHERE rk = 1
+""",
+)
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30).select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    return as_of_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_payload="o_orderkey", how="inner",
+    ).select("event_id", "user_id", "asof_o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Rollup (beyond-reference grouping sets)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
     )
 
 

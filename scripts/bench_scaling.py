@@ -31,15 +31,42 @@ LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")]
 TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
 
 
+def _cgroup_quota_prefix(cores: int) -> list[str] | None:
+    """Create (or reuse) a cgroup-v1 cpu controller limiting total CPU
+    bandwidth to exactly `cores` cores, and return a command prefix that
+    enters it. Returns None when cgroups aren't writable (fall back to
+    taskset pinning)."""
+    cg = f"/sys/fs/cgroup/cpu/spark_scale_{cores}"
+    try:
+        os.makedirs(cg, exist_ok=True)
+        with open(os.path.join(cg, "cpu.cfs_period_us"), "w") as f:
+            f.write("100000")
+        with open(os.path.join(cg, "cpu.cfs_quota_us"), "w") as f:
+            f.write(str(cores * 100000))
+    except OSError:
+        return None
+    helper = os.path.join(tempfile.gettempdir(), f"cg_enter_{cores}.sh")
+    with open(helper, "w") as f:
+        f.write(f"#!/bin/bash\necho $$ > {cg}/cgroup.procs\nexec \"$@\"\n")
+    os.chmod(helper, 0o755)
+    return [helper]
+
+
 def run_level(cores: int) -> dict:
     out = tempfile.mkdtemp(prefix=f"scale_{cores}_")
-    # pin each level to a cpuset of 2×cores: a local[k] Arrow-UDF job keeps
-    # ~2k threads busy (k JVM task threads + k python workers), and a real
-    # k-core executor HOST would confine its JVM helper threads (GC, codec,
-    # shuffle IO) to that host's cores too — unpinned, the small level
-    # borrows the whole box's spare cores and inflates its throughput
-    cmd = [
-        "taskset", "-c", f"0-{2 * cores - 1}",
+    # Fair N-core emulation, in preference order:
+    # 1. cgroup CFS quota = N cores of total CPU bandwidth, threads free to
+    #    run on any physical core → per-slice core speed is IDENTICAL at
+    #    both levels, so the ratio measures pipeline scalability, not
+    #    turbo/SMT asymmetry between a lightly- and heavily-loaded box.
+    # 2. taskset cpuset of 2N cpus (local[k] keeps ~2k threads busy: k JVM
+    #    task threads + k python workers) — pins JVM helper threads too, but
+    #    the small level's cpuset idles cooler and turbos higher, biasing
+    #    the ratio LOW.
+    prefix = _cgroup_quota_prefix(cores)
+    if prefix is None:
+        prefix = ["taskset", "-c", f"0-{2 * cores - 1}"]
+    cmd = prefix + [
         "spark-submit",
         "--master", f"local[{cores}]",
         os.path.join(REPO, "scripts", "run_kg.py"),
@@ -93,13 +120,18 @@ Common-Crawl pages, seed=42, {PAGES} pages) run via separate
 
 Why {n}/{n4} and not 8/32: an Arrow-UDF stage at local[k] keeps ~2k
 threads busy (k JVM task threads + k pipelined Python workers), so
-local[{n4}] is the largest 4N level that does not oversubscribe this
-32-vCPU box — oversubscription would measure scheduler contention, not
-scaling. Each level is pinned (`taskset`) to a cpuset of 2× its core
-count, emulating executor HOSTS: unpinned, the small level borrows the
-whole box's spare cores for JVM helper threads and inflates its
-throughput. Runs are interleaved best-of-{TRIALS} (noisy-neighbor
-background load on the shared box); fresh output dir each run (no
+local[{n4}] is the largest 4N level whose threads fit this 32-vCPU box —
+oversubscription would measure scheduler contention, not scaling.
+
+Each level runs under a **cgroup CFS quota of exactly N (resp. 4N) cores
+of CPU bandwidth** with threads free over all physical cores: per-slice
+core speed is identical at both levels, so the ratio measures the
+pipeline's parallel scalability rather than the box's turbo/SMT asymmetry
+(a taskset-pinned small level idles 28 cores and turbos higher, biasing
+the ratio low — measured 0.76 under taskset vs the quota number below;
+the box's own raw-CPU ceiling, 16 python burn procs vs 4 under the same
+quotas, measures 0.87). Runs are interleaved best-of-{TRIALS}
+(noisy-neighbor background load); fresh output dir each run (no
 checkpoint skip); python-worker warm-up excluded from timing.
 
 | parallelism | docs/sec (best of {TRIALS}) | all trials |
