@@ -649,6 +649,54 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window-function family (rank/lag/lead over event streams)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_rank_lag",
+    """
+SELECT user_id, event_id,
+       RANK() OVER w AS rnk,
+       LAG(event_id) OVER w AS prev_event,
+       LEAD(event_id) OVER w AS next_event
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation — identical in both engines)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "value_percentiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Join chains (broadcast dims) + grouped rollup
 # ---------------------------------------------------------------------------
 

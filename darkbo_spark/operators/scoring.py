@@ -37,7 +37,6 @@ def relevance_score_col(query: str, primary: Column, secondary: Column) -> Colum
         return F.lit(0.0)
     in_p = [primary.contains(F.lit(w)) for w in words]
     in_s = [secondary.contains(F.lit(w)) for w in words]
-    hit_p = [p for p in in_p]
     base = sum(
         (F.when(p, F.lit(2.0)).when(s, F.lit(1.0)).otherwise(F.lit(0.0)))
         for p, s in zip(in_p, in_s)
