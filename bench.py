@@ -46,6 +46,12 @@ HEADLINE = [
     "clean_text_parity",
     "merge_upsert",
     "source_checksums",
+    "hybrid_search",
+    "asof_events_orders",
+    "rollup_lineitem",
+    "window_rank_lag",
+    "value_percentiles",
+    "route_queries",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
