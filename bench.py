@@ -34,6 +34,8 @@ HEADLINE = [
     "q3_top_unshipped",
     "region_rollup",
     "tfidf_topk",
+    "bm25_topk",
+    "parsed_search_topk",
     "dense_topk",
     "token_jaccard_pairs",
     "minhash_lsh_pairs",

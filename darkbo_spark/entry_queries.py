@@ -141,7 +141,7 @@ def top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "corpus_stats",
     """
-SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
 FROM documents GROUP BY lang
 """,
@@ -367,6 +367,111 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 (the reference's true sparse channel — Whoosh BM25F, k1=1.2 b=0.75,
+# ai_worker.py:208-226) and raw-query-string parsing (QueryParser AND
+# semantics, ai_worker.py:209-210)
+# ---------------------------------------------------------------------------
+
+# shared DuckDB CTE block: tf, doc length, corpus size, avgdl, df — the same
+# definitions the Spark operator uses (operators/tfidf.py:build_bm25_postings)
+_BM25_CTES = """
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n_docs FROM n) AS DOUBLE) AS avgdl FROM dl
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+)
+"""
+
+# per-(token, doc) BM25 weight — mirrors the Spark column expression term by
+# term (identical IEEE-double op order; 6dp round → decimal sum → exact)
+_BM25_W = (
+    "ROUND(ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM s)))), 6)"
+)
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT tf.doc_id,
+       CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("bm25_topk", _BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.tfidf import bm25_score_query, build_bm25_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_score_query(build_bm25_postings(docs), _TFIDF_TERMS, top_k=10)
+
+
+# raw question string — NOT a pre-tokenized term list; parse_query derives
+# the AND term set ('what'/'is'/'a'/'when'/'the' are stopwords) exactly like
+# the reference's QueryParser step does before its postings search
+_RAW_QUERY = 'what is a fast "table scan" when the window agg is slow'
+import re as _re  # noqa: E402
+
+from darkbo_spark.operators.queryparse import parse_query as _pq  # noqa: E402
+from darkbo_spark.reference_impl import STOP_WORDS as _STOPS  # noqa: E402
+
+_PARSED = _pq(_RAW_QUERY)
+# ranking term set = AND terms + analyzed phrase words (what search_text
+# feeds bm25_score_query)
+_RANK_TERMS = sorted(
+    set(_PARSED.terms)
+    | {
+        w
+        for p in _PARSED.phrases
+        for w in _re.findall(r"\w+", p)
+        if len(w) >= 2 and w not in _STOPS
+    }
+)
+
+_PARSED_ORACLE = f"""
+WITH {_BM25_CTES},
+matched AS (
+  SELECT doc_id FROM tf
+  WHERE token IN ({", ".join(repr(t) for t in _PARSED.terms)})
+  GROUP BY doc_id
+  HAVING COUNT(DISTINCT token) = {len(set(_PARSED.terms))}
+),
+phrased AS (
+  SELECT doc_id FROM documents
+  WHERE lower(text) LIKE '%{_PARSED.phrases[0]}%'
+)
+SELECT tf.doc_id,
+       CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+WHERE token IN ({", ".join(repr(t) for t in _RANK_TERMS)})
+  AND tf.doc_id IN (SELECT doc_id FROM matched)
+  AND tf.doc_id IN (SELECT doc_id FROM phrased)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("parsed_search_topk", _PARSED_ORACLE)
+def parsed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.queryparse import search_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10)
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval (the reference's core query: dense ∪ sparse ∪ basic with
 # dense-first precedence dedup + top-k)
 # ---------------------------------------------------------------------------
@@ -520,7 +625,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "token_counts_by_lang",
     f"""
-SELECT lang, COUNT(*) AS docs, SUM({ta.sql_token_count('text')}) AS total_tokens
+SELECT lang, COUNT(*) AS docs, CAST(SUM({ta.sql_token_count('text')}) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """,
 )
@@ -625,7 +730,7 @@ WITH gaps AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT user_id, event_id, ts,
-       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_seq
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_seq
 FROM gaps
 """,
 )
@@ -638,7 +743,7 @@ def sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_agg",
     """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -920,12 +1025,20 @@ def clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("embed_documents")
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The raw array<float> column crashes the driver's pandas canonicalizer
+    # (lists are unhashable), so the driver-facing query projects a stable
+    # scalar fingerprint; pytest (tests/test_embed.py) covers the raw vectors.
     from darkbo_spark.functions.embed import embed_udf
 
-    return (
+    emb = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id", embed_udf(F.col("text")).alias("embedding"))
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.md5(F.to_json(F.col("embedding"))).alias("embedding_fp"),
     )
 
 
@@ -938,9 +1051,18 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("media_features")
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar fingerprint of the feature vector for the driver canonicalizer
+    # (raw array<float> is unhashable in its pandas sort); pytest keeps the
+    # raw-array assertions (tests/test_multimodal.py).
     from darkbo_spark.multimodal.binary_ops import byte_histogram_features, synth_media
 
-    return byte_histogram_features(synth_media(spark, 200))
+    feats = byte_histogram_features(synth_media(spark, 200))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("features").alias("dim"),
+        F.md5(F.to_json(F.col("features"))).alias("features_fp"),
+    )
 
 
 @_q("media_frame_sample")

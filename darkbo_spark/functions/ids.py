@@ -21,7 +21,19 @@ _NS_URL_HEX = "6ba7b8119dad11d180b400c04fd430c8"
 
 
 def _key(kind: str, *parts: Column | str) -> Column:
-    cols = [F.lit(kind)] + [F.col(p) if isinstance(p, str) else p for p in parts]
+    # concat_ws silently SKIPS null parts, so (a, NULL, b) would collide with
+    # (a, b). The reference's uuid5_id raises on None (api/models.py:26-29);
+    # the distributed analog is a loud task failure: coalesce is lazy, so
+    # raise_error only fires when a part actually IS null.
+    cols = [F.lit(kind)]
+    for p in parts:
+        c = F.col(p) if isinstance(p, str) else p
+        cols.append(
+            F.coalesce(
+                c.cast("string"),
+                F.raise_error(F.lit(f"id key part is NULL (kind={kind})")),
+            )
+        )
     return F.concat_ws(":", *cols)
 
 

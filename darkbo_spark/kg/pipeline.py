@@ -38,7 +38,7 @@ from darkbo_spark.kg.link import link_entities
 from darkbo_spark.kg.materialize import bucketize_triples
 from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
 from darkbo_spark.kg.triples import extract_doc_triples_df
-from darkbo_spark.storage.snapshots import SnapshotTable, partition_metrics
+from darkbo_spark.storage.snapshots import BuildLock, SnapshotTable, partition_metrics
 
 CODE_VERSION = "1"
 
@@ -66,10 +66,42 @@ def run_pipeline(
     n_buckets: int = 32,
     write_salt: int = 8,
     input_fingerprint: str | None = None,
+    cc_mode: str = "auto",
 ) -> PipelineResult:
-    """Run (or resume) the full pipeline; every stage is fingerprint-gated."""
+    """Run (or resume) the full pipeline; every stage is fingerprint-gated.
+
+    The whole run holds the single-writer BuildLock (I2): concurrent
+    publishers would otherwise race on the same v{seq} dir and expire()
+    could GC an in-flight version."""
     res = PipelineResult()
     run_t0 = time.time()
+    lock = BuildLock(out_dir, "pipeline")
+    lock_owner = f"run-{run_t0}"
+    if not lock.acquire(lock_owner):
+        raise RuntimeError(f"pipeline build lock held by {lock.owner()} for {out_dir}")
+    try:
+        return _run_locked(
+            spark, out_dir, pages, n_pages, seed, link_strategy, n_buckets,
+            write_salt, input_fingerprint, cc_mode, res, run_t0,
+        )
+    finally:
+        lock.release(lock_owner)
+
+
+def _run_locked(
+    spark: SparkSession,
+    out_dir: str,
+    pages: DataFrame | None,
+    n_pages: int,
+    seed: int,
+    link_strategy: str,
+    n_buckets: int,
+    write_salt: int,
+    input_fingerprint: str | None,
+    cc_mode: str,
+    res: PipelineResult,
+    run_t0: float,
+) -> PipelineResult:
     if pages is None:
         # html is omitted: the extract stage reads `text` only, and a real
         # Iceberg pages scan would prune the binary column anyway (the
@@ -131,13 +163,16 @@ def run_pipeline(
     # BEFORE linking; CC runs once, its dictionary-sized map is persisted) --
     entity_dict = entity_dictionary_df(spark)
 
-    # dictionary-sized outputs: driver union-find (identical to the
-    # distributed CC — asserted in tests) and single-file publishes; the
-    # full Spark write machinery on a 3k-row table is pure fixed cost
+    # mode="auto": driver union-find while the dictionary is broadcast-sized
+    # (identical output to the distributed star-contraction CC — asserted in
+    # tests), iterative DataFrame CC once it outgrows DRIVER_CC_LIMIT; tests
+    # force cc_mode="distributed" through the full pipeline as well
     def build_eid_map():
-        return canonicalize_entities(entity_dict, mode="driver").coalesce(1), None
+        return canonicalize_entities(entity_dict, mode=cc_mode).coalesce(1), None
 
-    eidmap_tbl, fp_m = stage("eid_map", input_fingerprint, "cc_v1", build_eid_map)
+    eidmap_tbl, fp_m = stage(
+        "eid_map", input_fingerprint, f"cc_v2_{cc_mode}", build_eid_map
+    )
 
     def build_entities():
         return (

@@ -1,22 +1,30 @@
-"""Connected components over an edge DataFrame — iterative min-label
-propagation with per-iteration checkpointing (GraphFrames-style, no GraphX
-dependency).
+"""Connected components over an edge DataFrame — alternating
+large-star/small-star contraction (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) as iterative DataFrame joins, no
+GraphX/GraphFrames dependency.
 
 Used by the canonicalization stage (kg/canonicalize.py) to merge entity
 alias clusters — the scaled-up analog of the reference's many-surface-forms
 → one-canonical-name mapping (behavior: prebuild_kb.py:84-103).
 
 Scale notes:
-* Each iteration is one shuffle join + one groupBy; lineage is truncated
-  every iteration with localCheckpoint, otherwise the plan grows
-  unboundedly and re-executes prior iterations.
-* Min-propagation converges in O(graph diameter) iterations. Alias graphs
-  are shallow (stars around a canonical node, short chains), so diameter is
-  small; for adversarial deep graphs the alternating large-star/small-star
-  contraction (Kiveris et al., "Connected Components in MapReduce and
-  Beyond") bounds iterations at O(log n) — `max_iter` guards the loop
-  either way and convergence is detected by an exact changed-count.
+* Plain min-label propagation needs O(graph diameter) rounds — fine for
+  shallow alias stars, quadratic-shuffle-wasteful and `max_iter`-fragile on
+  adversarial alias chains. Star contraction converges in O(log n) rounds
+  regardless of diameter: each round is two groupBy shuffles over the
+  (shrinking) edge set.
+* Lineage is truncated every round with localCheckpoint, otherwise the
+  plan re-executes all prior rounds.
+* Convergence is detected exactly (count + order-insensitive hash of the
+  edge set, ONE extra job per round); exhausting `max_iter` without
+  converging RAISES — silently-unconverged labels would mis-merge
+  entities downstream with no error signal.
 * Component labels are the MIN node id (stable, deterministic).
+
+large-star(u): connect every neighbor v > u to min(Γ(u) ∪ {u}).
+small-star(u): over edges oriented u > v, connect u and all smaller
+neighbors to min(Γ⁻(u) ∪ {u}). At the fixpoint every edge is
+(node, component-min).
 """
 
 from __future__ import annotations
@@ -25,52 +33,85 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when CC exhausts max_iter without reaching a fixpoint."""
+
+
+def _edge_sig(e: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive hash) of the edge set in one job. The hash
+    sum accumulates in decimal(38,0) — ANSI mode throws on bigint overflow."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return row.n, int(row.h)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Return (node, component) with component = min node id reachable.
+    """Return (node, comp) with comp = min node id reachable.
 
     `edges` is undirected input (each pair listed once is enough); isolated
-    nodes simply don't appear (callers union them back if needed).
+    nodes simply don't appear (callers union them back if needed). Raises
+    ConvergenceError if `max_iter` rounds don't reach the fixpoint (at
+    O(log n) convergence, 25 rounds covers any graph that fits on disk).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
-
-    comp = (
-        sym.select(F.col("src").alias("node"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    sig = _edge_sig(e)
+    if sig[0] == 0:
+        return e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
 
     for _ in range(max_iter):
-        # min component among neighbors of each node
-        nbr_min = (
-            sym.join(comp.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("src", "node")
+        # -- large-star: for each u, attach strictly-larger neighbors to the
+        # minimum of the closed neighborhood ---------------------------------
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        lmin = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
         )
-        new_comp = (
-            comp.join(nbr_min, "node", "left")
+        e = (
+            sym.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # -- small-star: orient u > v, attach u and smaller neighbors to the
+        # minimum of the small neighborhood ----------------------------------
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        smin = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        e = (
+            oriented.join(smin, "src")
             .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                F.explode(F.array(F.col("src"), F.col("dst"))).alias("src"),
+                F.col("m").alias("dst"),
             )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comp.withColumnRenamed("comp", "new_comp")
-            .join(comp, "node")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
+        new_sig = _edge_sig(e)
+        if new_sig == sig:
             break
-    return comp
+        sig = new_sig
+    else:
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # fixpoint: every edge is (node, component-min); roots map to themselves
+    children = e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("comp")).distinct()
+    return children.union(roots).distinct()

@@ -186,11 +186,12 @@ def token_jaccard_pairs(
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
+        .withColumn("_j_raw", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        # filter on the UNROUNDED ratio (the oracle does too); round only the
+        # reported value — a true jaccard in [threshold-5e-7, threshold) must
+        # not pass via rounding
+        .filter(F.col("_j_raw") >= min_jaccard)
+        .withColumn("jaccard", F.round(F.col("_j_raw"), 6))
         .select("id_a", "id_b", "jaccard")
     )
     return out

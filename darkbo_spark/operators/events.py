@@ -53,9 +53,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     starts (two stacked windows; the streaming twin uses
     applyInPandasWithState)."""
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe (UTC session)
-    gap = epoch - F.lag(epoch, 1).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # microseconds, not whole seconds: truncation could flip the > comparison
+    # for sub-second gaps right at the boundary (oracle compares exact
+    # INTERVAL); NTZ-safe via the timestamp cast (UTC session)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us, 1).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     return (
         events.withColumn("is_new_session", is_new)
         .withColumn("session_seq", F.sum("is_new_session").over(w))

@@ -8,8 +8,10 @@ compiles into whole-stage-codegen'd `contains`/`when` chains — no UDF, no
 shuffle; scoring a 100 TB corpus is a narrow map.
 
 `relevance_score_sql` emits the equivalent ANSI SQL from the SAME
-tokenization, so driver-oracle (DuckDB) comparisons are exact: every bonus
-increment is a multiple of 0.5 → float sums are exact in both engines.
+tokenization, so driver-oracle (DuckDB) comparisons are exact: both
+engines evaluate the identical IEEE-double expression in the identical
+order (the ratio/coverage bonuses are fractional — e.g. 2/3 — so the
+parity is order-of-evaluation, not half-integral-sum, exactness).
 """
 
 from __future__ import annotations

@@ -26,16 +26,87 @@ def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
+def _corpus_n(docs: DataFrame) -> DataFrame:
+    """Single-row (n_docs) frame, folded into downstream plans via broadcast
+    crossJoin — N travels INSIDE the plan instead of a separate docs.count()
+    action (which would be an extra full corpus scan per postings build)."""
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def build_postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(token, doc_id, tf, idf, tf_idf)."""
+    """(token, doc_id, tf, idf, tf_idf) — ONE job: the corpus count is a
+    broadcast single-row aggregate inside the plan, not a separate action."""
     toks = tokenize(docs, text_col, id_col)
-    n_docs = docs.count()
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
-    idf = df_t.withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + 1.0
-    )
+    idf = df_t.crossJoin(F.broadcast(_corpus_n(docs))).withColumn(
+        "idf", F.log((F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    ).drop("n_docs")
     return tf.join(idf, "token").withColumn("tf_idf", F.col("tf") * F.col("idf"))
+
+
+def build_bm25_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(token, doc_id, w) BM25 postings — the true sparse channel of the
+    reference (Whoosh BM25F scoring, behavior /root/reference/ai_worker.py:208-226;
+    Whoosh default k1=1.2, b=0.75).
+
+        idf      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        tf_norm  = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+        w        = round(idf · tf_norm, 6)   (6dp → cross-engine exact sums)
+
+    N = total corpus docs, dl = doc token count, avgdl = Σdl/N. All three
+    travel inside the plan (broadcast single-row agg) — no separate count
+    action. Scoring is one shuffle (tf groupBy); the df and dl aggregates
+    are map-side-combined."""
+    toks = tokenize(docs, text_col, id_col)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = F.broadcast(
+        dl.crossJoin(F.broadcast(_corpus_n(docs))).agg(
+            F.first("n_docs").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.first("n_docs").cast("double")).alias("avgdl"),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(df_t, "token")
+        .crossJoin(stats)
+        .select("token", "doc_id", F.round(idf * tf_norm, 6).alias("w"))
+    )
+
+
+def bm25_score_query(
+    bm25_postings: DataFrame, query_terms: list[str], top_k: int = 10
+) -> DataFrame:
+    """Top-k docs by Σ BM25 weight over the query terms (OR semantics —
+    Whoosh union scoring). Decimal accumulation of the 6dp-rounded per-term
+    weights keeps Spark and DuckDB bit-identical."""
+    spark = bm25_postings.sparkSession
+    import pandas as pd
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"token": sorted({t.lower() for t in query_terms})})
+    )
+    scored = (
+        bm25_postings.join(F.broadcast(q), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
 
 def score_query(postings: DataFrame, query_terms: list[str], top_k: int = 10) -> DataFrame:

@@ -143,7 +143,10 @@ def relevance_score(query_lower: str, primary_text: str, secondary_text: str) ->
     +0.5*n multi-match bonus, +1.0/+0.5 content-word bonus, +2.0 (or ratio)
     full-content-coverage bonus, +3.0/+1.5 exact-phrase bonus, and a
     coverage-ratio bonus when at least half the query words match.
-    All increments are multiples of 0.5, so float sums are exact.
+    NOTE: the ratio/coverage bonuses are fractional (e.g. 2/3), so scores
+    are NOT half-integral in general; cross-engine parity holds because the
+    Spark column expression evaluates the identical IEEE-double operations
+    in the identical order as this oracle, not because sums are exact.
     """
     words = _WORD.findall(query_lower)
     if not words:

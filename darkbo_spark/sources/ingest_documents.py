@@ -39,6 +39,48 @@ PLACEHOLDER_TEXT = (
     "Please contact support for assistance with this file."
 )  # S8 — fixed placeholder for unprocessable files
 
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def extract_docx_text(b: bytes) -> str:
+    """Dependency-free DOCX text extraction (S6): a .docx is a zip whose
+    word/document.xml carries paragraphs (<w:p>/<w:t>) and tables (<w:tbl>).
+    Emits paragraph text and ' | '-joined table rows — the same shape as the
+    python-docx branch (reference behavior: api/document_processor.py DOCX
+    path, exercised by its ASPCATEST.docx fixture). stdlib zipfile + etree
+    only, so S6 runs everywhere."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    body = root.find(_W_NS + "body")
+    if body is None:
+        return ""
+
+    def para_text(p) -> str:
+        return "".join(t.text or "" for t in p.iter(_W_NS + "t"))
+
+    parts: list[str] = []
+    for child in body:
+        if child.tag == _W_NS + "p":
+            t = para_text(child)
+            if t.strip():
+                parts.append(t)
+        elif child.tag == _W_NS + "tbl":
+            for row in child.iter(_W_NS + "tr"):
+                cells = []
+                for tc in row.findall(_W_NS + "tc"):
+                    ct = " ".join(
+                        para_text(p) for p in tc.iter(_W_NS + "p")
+                    ).strip()
+                    if ct:
+                        cells.append(ct)
+                if cells:
+                    parts.append(" | ".join(cells))
+    return "\n\n".join(parts)
+
 
 @pandas_udf(StringType())
 def extract_file_text_udf(path: pd.Series, content: pd.Series) -> pd.Series:
@@ -79,6 +121,11 @@ def extract_file_text_udf(path: pd.Series, content: pd.Series) -> pd.Series:
                     if cells:
                         parts.append(" | ".join(cells))
             return "\n\n".join(parts)
+        if ext == "docx":  # stdlib fallback — S6 works without python-docx
+            try:
+                return extract_docx_text(b)
+            except Exception:
+                return PLACEHOLDER_TEXT
         return PLACEHOLDER_TEXT
 
     return pd.Series([one(p, b) for p, b in zip(path, content)])

@@ -109,12 +109,14 @@ class SnapshotTable:
         return os.path.join(self.dir, cur["version"], "data")
 
     # -- retention ----------------------------------------------------------
-    def expire(self, retain_last: int = 3) -> list[str]:
+    def expire(self, retain_last: int = 3, uncommitted_stale_s: float = 3600.0) -> list[str]:
         """Delete all committed versions except the newest `retain_last`,
         never deleting the current pointer's target. Uncommitted (no
-        meta.json) version dirs are also removed. Mirrors keep-last-N
-        retention (reference behavior api/index_versioning.py:195-212) /
-        Iceberg expire_snapshots."""
+        meta.json) version dirs are removed only once older than
+        `uncommitted_stale_s` — a fresher one may be a concurrent publisher's
+        in-flight write, which must not be rmtree'd mid-write. Mirrors
+        keep-last-N retention (reference behavior
+        api/index_versioning.py:195-212) / Iceberg expire_snapshots."""
         cur = self.current()
         keep = {cur["version"]} if cur else set()
         versions = sorted(
@@ -122,8 +124,14 @@ class SnapshotTable:
             if d.startswith("v") and os.path.isdir(os.path.join(self.dir, d))
         )
         committed = [v for v in versions if os.path.exists(os.path.join(self.dir, v, "meta.json"))]
-        uncommitted = [v for v in versions if v not in committed]
-        doomed = [v for v in committed[:-retain_last] if v not in keep] + uncommitted
+        now = time.time()
+        stale_uncommitted = [
+            v
+            for v in versions
+            if v not in committed
+            and now - os.path.getmtime(os.path.join(self.dir, v)) > uncommitted_stale_s
+        ]
+        doomed = [v for v in committed[:-retain_last] if v not in keep] + stale_uncommitted
         for v in doomed:
             shutil.rmtree(os.path.join(self.dir, v), ignore_errors=True)
         return doomed

@@ -30,6 +30,8 @@ CHECKS = {
     "flagship_relevance_topk": ["TakeOrderedAndProject"],
     "top5_orders": ["TakeOrderedAndProject"],
     "tfidf_topk": ["BroadcastHashJoin"],
+    "bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "parsed_search_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "dense_topk": ["BroadcastNestedLoopJoin"],
     "customers_without_recent_orders": ["BroadcastHashJoin", "LeftAnti"],
 }

@@ -1,8 +1,10 @@
-"""Connected components: crafted graphs (chain, star, clique, islands)."""
+"""Connected components: crafted graphs (chain, star, clique, islands),
+O(log n) round count on deep chains, and the loud non-convergence error."""
 
 import pandas as pd
+import pytest
 
-from darkbo_spark.operators.components import connected_components
+from darkbo_spark.operators.components import ConvergenceError, connected_components
 
 
 def _cc(spark, edges):
@@ -39,3 +41,22 @@ def test_component_label_is_min(spark):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     rows = {r.node: r.comp for r in connected_components(df).collect()}
     assert set(rows.values()) == {"a"}
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    """A 64-deep chain would defeat 25-round min-label propagation at larger
+    depths; star contraction converges in O(log n) rounds — prove it by
+    giving the loop only 8 rounds."""
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(64)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    rows = {r.node: r.comp for r in connected_components(df, max_iter=8).collect()}
+    assert set(rows.values()) == {"n000"}
+    assert len(rows) == 65
+
+
+def test_unconverged_raises(spark):
+    """Exhausting max_iter must RAISE, never return silently-wrong labels."""
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(32)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    with pytest.raises(ConvergenceError):
+        connected_components(df, max_iter=1)

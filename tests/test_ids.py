@@ -5,6 +5,7 @@ key, api/models.py:26-29,84-88 behavior)."""
 import uuid
 
 import pandas as pd
+import pyspark.sql.functions as F
 from hypothesis import given, settings, strategies as st
 
 from darkbo_spark import reference_impl as ref
@@ -51,3 +52,21 @@ def test_sha256_id_cross_engine(spark):
             "select substr(sha256('kind:' || ?), 1, 32)", [k]
         ).fetchone()
         assert got[k] == want == ref.sha256_id("kind", k)
+
+
+def test_null_key_part_raises(spark):
+    """concat_ws silently skips NULLs → (a,NULL,b) would collide with (a,b);
+    the id builder must fail loudly instead (reference uuid5_id raises on
+    None, api/models.py:26-29)."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["x", "y"], "b": ["1", None]})
+    )
+    ok = df.filter(F.col("b").isNotNull()).select(uuid5_col("t", "a", "b").alias("id"))
+    assert ok.count() == 1  # non-null rows fine
+    bad = df.select(uuid5_col("t", "a", "b").alias("id"))
+    with pytest.raises(SparkRuntimeException, match="NULL"):
+        bad.collect()

@@ -160,3 +160,50 @@ def test_metrics_and_retention(spark, out_dir, result):
     stages = {r.stage for r in rows}
     assert {"docs", "raw_triples", "kg_triples"} <= stages
     assert all(r.rows >= 0 for r in rows)
+
+
+def test_pipeline_distributed_cc(spark):
+    """The open-vocabulary configuration: full pipeline with the iterative
+    DataFrame CC (cc_mode='distributed') — same triples and same entity
+    merge as a driver-union-find run over the same input (self-contained
+    dirs: the shared out_dir is mutated by other tests)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        res_drv = run_pipeline(spark, d1, n_pages=40, seed=7, cc_mode="driver")
+        res_dst = run_pipeline(spark, d2, n_pages=40, seed=7, cc_mode="distributed")
+        assert "eid_map" in res_dst.stages_run
+        a = {
+            (r.eid, r.canon_eid)
+            for r in res_dst.tables["eid_map"].read(spark).collect()
+        }
+        b = {
+            (r.eid, r.canon_eid)
+            for r in res_drv.tables["eid_map"].read(spark).collect()
+        }
+        assert a == b and len(a) > 0
+        ta = {
+            (r.triple_id, r.subj_eid, r.obj_eid)
+            for r in res_dst.tables["kg_triples"].read(spark).collect()
+        }
+        tb = {
+            (r.triple_id, r.subj_eid, r.obj_eid)
+            for r in res_drv.tables["kg_triples"].read(spark).collect()
+        }
+        assert ta == tb and len(ta) > 0
+
+
+def test_pipeline_build_lock_blocks_concurrent_run(spark, out_dir, result):
+    """A second publisher must be refused while the lock is held."""
+    from darkbo_spark.storage.snapshots import BuildLock
+
+    lock = BuildLock(out_dir, "pipeline")
+    assert lock.acquire("other-owner")
+    try:
+        with pytest.raises(RuntimeError, match="lock"):
+            run_pipeline(spark, out_dir, n_pages=N_PAGES, seed=SEED)
+    finally:
+        lock.release("other-owner")
+    # and the lock is released after a normal run (no leftover lock file)
+    run_pipeline(spark, out_dir, n_pages=N_PAGES, seed=SEED)
+    assert lock.owner() is None

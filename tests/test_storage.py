@@ -42,7 +42,12 @@ def test_uncommitted_version_invisible_and_cleaned(spark, tmp_path):
     # simulate a crash mid-publish: version dir without meta.json
     os.makedirs(os.path.join(t.dir, "v99999_deadbeef", "data"), exist_ok=True)
     assert t.read(spark).count() == 3  # pointer still at committed version
+    # a FRESH uncommitted dir may be a concurrent publisher's in-flight
+    # write — default expire must NOT touch it
     t.expire(retain_last=3)
+    assert os.path.exists(os.path.join(t.dir, "v99999_deadbeef"))
+    # once stale (negative threshold here), it is garbage and gets collected
+    t.expire(retain_last=3, uncommitted_stale_s=-1.0)
     assert not os.path.exists(os.path.join(t.dir, "v99999_deadbeef"))
 
 
