@@ -324,6 +324,21 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=5, n_planes=6).select("qid", "doc_id", "score")
 
 
+@_q("ann_multiprobe_topk")  # rows-only: recall ≥ single-probe asserted in pytest
+def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.similarity import lsh_topk_multi
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk_multi(
+        emb, queries, dim=64, k=5, n_planes=6, n_tables=4, multiprobe=True
+    ).select("qid", "doc_id", "score")
+
+
 # ---------------------------------------------------------------------------
 # Sparse retrieval (A2/J4): TF-IDF postings + query join
 # ---------------------------------------------------------------------------

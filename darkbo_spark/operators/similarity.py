@@ -106,3 +106,82 @@ def lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table, multi-probe sign-LSH top-k — the recall upgrade over
+    single-probe `lsh_topk` (whose recall sags as dim grows).
+
+    * `n_tables` independent hyperplane sets: a pair is a candidate if it
+      collides in ANY table → corpus index grows ×L (the standard LSH
+      space-for-recall trade), join stays one shuffle on (table, bucket).
+    * `multiprobe`: the QUERY side additionally probes every bucket at
+      Hamming distance 1 (each single sign flip) — ×(1+n_planes) rows on
+      the tiny query side only, nothing extra on the corpus side.
+    * candidates dedup on (qid, doc_id) before scoring so each pair is
+      scored once regardless of how many tables it collided in.
+    """
+    tables = [random_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+    c_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _sign_bucket(F.col(vec_col), planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_cvec"),
+        F.explode(c_entries).alias("tb"),
+    ).select("doc_id", "_cvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    def probes(bucket: Column) -> Column:
+        if not multiprobe:
+            return F.array(bucket)
+        flips = [bucket] + [
+            bucket.bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
+            for i in range(n_planes)
+        ]
+        return F.array(*flips)
+
+    q_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                probes(_sign_bucket(F.col(qvec_col), planes)).alias("buckets"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec"),
+            F.explode(q_entries).alias("tb"),
+        )
+        .select("qid", "_qvec", F.col("tb.t").alias("t"), F.explode("tb.buckets").alias("bucket"))
+        .distinct()
+    )
+    cand = (
+        c.join(q, ["t", "bucket"])
+        .select("qid", "doc_id", "_qvec", "_cvec")
+        .dropDuplicates(["qid", "doc_id"])
+    )
+    scored = cand.select(
+        "qid", "doc_id", F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

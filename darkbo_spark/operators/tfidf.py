@@ -33,11 +33,26 @@ def _corpus_n(docs: DataFrame) -> DataFrame:
     return docs.agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def _term_freq(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, token, tf), persisted: tf feeds several downstream rollups
+    (df, dl, the scoring join) and Catalyst's column pruning rewrites each
+    branch differently, defeating ReuseExchange — without persistence the
+    corpus is scanned+exploded once PER BRANCH (observed 4× in the executed
+    plan). In production the postings are materialized once as the sparse
+    index table (S13, SnapshotTable) and queries read that; the persist is
+    the in-plan analog for self-contained queries (MEMORY_AND_DISK,
+    LRU-evicted under pressure)."""
+    from pyspark import StorageLevel
+
+    toks = tokenize(docs, text_col, id_col)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    return tf.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def build_postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(token, doc_id, tf, idf, tf_idf) — ONE job: the corpus count is a
     broadcast single-row aggregate inside the plan, not a separate action."""
-    toks = tokenize(docs, text_col, id_col)
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = _term_freq(docs, text_col, id_col)
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf = df_t.crossJoin(F.broadcast(_corpus_n(docs))).withColumn(
         "idf", F.log((F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0
@@ -64,9 +79,11 @@ def build_bm25_postings(
     travel inside the plan (broadcast single-row agg) — no separate count
     action. Scoring is one shuffle (tf groupBy); the df and dl aggregates
     are map-side-combined."""
-    toks = tokenize(docs, text_col, id_col)
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl and df both derive FROM the persisted tf — the expensive
+    # explode+shuffle over the raw tokens runs once; the rollups are
+    # map-side-combinable aggregates over the (much smaller) term table
+    tf = _term_freq(docs, text_col, id_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = F.broadcast(
         dl.crossJoin(F.broadcast(_corpus_n(docs))).agg(

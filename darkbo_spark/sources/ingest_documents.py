@@ -39,6 +39,69 @@ PLACEHOLDER_TEXT = (
     "Please contact support for assistance with this file."
 )  # S8 — fixed placeholder for unprocessable files
 
+_PDF_STREAM = None  # compiled lazily (module import stays cheap on executors)
+
+
+def extract_pdf_text(b: bytes) -> str:
+    """Dependency-free PDF text extraction (S5 fallback): decode content
+    streams (raw or FlateDecode via stdlib zlib) and collect the text-show
+    operators — ``(string) Tj``, ``(string) '`` and ``[(s) n (s)] TJ``.
+    Handles the plain-text-PDF common case; anything beyond it (CID fonts,
+    encodings) is the PyPDF2 branch's job (reference gates that identically
+    behind HAS_PDF). One string per content stream, streams joined by
+    blank lines like the reference's per-page join."""
+    import re as _re
+    import zlib
+
+    global _PDF_STREAM
+    if _PDF_STREAM is None:
+        _PDF_STREAM = _re.compile(rb"stream\r?\n(.*?)endstream", _re.S)
+
+    def _unescape(s: bytes) -> str:
+        out, i = [], 0
+        while i < len(s):
+            c = s[i]
+            if c == 0x5C and i + 1 < len(s):  # backslash
+                n = s[i + 1]
+                esc = {0x6E: "\n", 0x74: "\t", 0x72: "\r", 0x28: "(", 0x29: ")", 0x5C: "\\"}
+                if n in esc:
+                    out.append(esc[n])
+                    i += 2
+                    continue
+                if 0x30 <= n <= 0x37:  # octal \ddd
+                    j = i + 1
+                    oct_digits = []
+                    while j < len(s) and len(oct_digits) < 3 and 0x30 <= s[j] <= 0x37:
+                        oct_digits.append(chr(s[j]))
+                        j += 1
+                    out.append(chr(int("".join(oct_digits), 8)))
+                    i = j
+                    continue
+                i += 1
+                continue
+            out.append(chr(c))
+            i += 1
+        return "".join(out)
+
+    pages = []
+    for m in _PDF_STREAM.finditer(b):
+        raw = m.group(1)
+        try:
+            data = zlib.decompress(raw)
+        except Exception:
+            data = raw
+        # strings inside text-show operators, in stream order
+        parts = []
+        for sm in _re.finditer(rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')|\[(?:[^\]\\]|\\.)*\]\s*TJ", data):
+            tok = sm.group(0)
+            for strm in _re.finditer(rb"\(((?:[^()\\]|\\.)*)\)", tok):
+                parts.append(_unescape(strm.group(1)))
+        page = " ".join(p for p in parts if p.strip())
+        if page.strip():
+            pages.append(page)
+    return "\n\n".join(pages)
+
+
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 
 
@@ -110,6 +173,12 @@ def extract_file_text_udf(path: pd.Series, content: pd.Series) -> pd.Series:
                 except Exception:
                     continue
             return "\n\n".join(pages)
+        if ext == "pdf":  # stdlib fallback — plain/Flate text PDFs
+            try:
+                t = extract_pdf_text(b)
+                return t if t.strip() else PLACEHOLDER_TEXT
+            except Exception:
+                return PLACEHOLDER_TEXT
         if ext in ("docx", "doc") and HAS_DOCX:
             import io
 

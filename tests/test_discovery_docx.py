@@ -166,3 +166,52 @@ def test_discovery_first_faq_match_wins(spark, tmp_path):
 
 def test_discovery_empty_dir(spark, tmp_path):
     assert discover_projects(spark, str(tmp_path / "missing")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# S5 PDF fallback (dependency-free; PyPDF2 branch stays gated like the
+# reference's HAS_PDF)
+# ---------------------------------------------------------------------------
+
+
+def make_pdf_bytes() -> bytes:
+    import zlib
+
+    page1 = b"BT /F1 12 Tf 72 720 Td (Hello PDF) Tj (world!) Tj ET"
+    page2 = zlib.compress(
+        rb"BT [(Zlib) -250 (compressed \(page\))] TJ (line \134two) ' ET"
+    )
+    out = [b"%PDF-1.4"]
+    for body in (page1, page2):
+        out.append(b"1 0 obj << /Length " + str(len(body)).encode() + b" >>")
+        out.append(b"stream\n" + body + b"endstream")
+        out.append(b"endobj")
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def test_extract_pdf_text_raw_and_flate():
+    from darkbo_spark.sources.ingest_documents import extract_pdf_text
+
+    text = extract_pdf_text(make_pdf_bytes())
+    pages = text.split("\n\n")
+    assert pages[0] == "Hello PDF world!"
+    # escapes: \( \) and octal \134 (backslash) handled; TJ + ' operators
+    assert pages[1] == "Zlib compressed (page) line \\two"
+
+
+def test_pdf_through_spark_ingest(spark):
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {"path": ["/up/report.pdf", "/up/junk.pdf"],
+             "content": [make_pdf_bytes(), b"%PDF-1.4 no streams"]}
+        )
+    )
+    texts = {
+        r.path: r.text
+        for r in files.select(
+            "path", extract_file_text_udf(F.col("path"), F.col("content")).alias("text")
+        ).collect()
+    }
+    assert texts["/up/report.pdf"].startswith("Hello PDF world!")
+    assert texts["/up/junk.pdf"] == PLACEHOLDER_TEXT

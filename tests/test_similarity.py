@@ -47,3 +47,41 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.2
     for qid in range(5):  # self-match always survives
         assert (qid, qid) in approx_set
+
+
+def test_multitable_multiprobe_recall_beats_single(spark):
+    """The scale-path upgrade: 4 tables + Hamming-1 query probes must
+    strictly dominate single-table single-probe recall on the same data."""
+    from darkbo_spark.operators.similarity import lsh_topk_multi
+
+    df, vecs = _emb(spark, n=300)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r.qid, r.doc_id) for r in brute_force_topk(df, queries, k=5).select("qid", "doc_id").collect()}
+    single = {(r.qid, r.doc_id) for r in lsh_topk(df, queries, dim=16, k=5, n_planes=4).select("qid", "doc_id").collect()}
+    multi = {
+        (r.qid, r.doc_id)
+        for r in lsh_topk_multi(
+            df, queries, dim=16, k=5, n_planes=4, n_tables=4, multiprobe=True
+        ).select("qid", "doc_id").collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.6  # measured floor with 4x tables + 1-bit probes
+    for qid in range(5):
+        assert (qid, qid) in multi  # self-match always survives
+
+
+def test_multitable_pairs_scored_once(spark):
+    """Candidates colliding in several tables must not duplicate rows."""
+    from darkbo_spark.operators.similarity import lsh_topk_multi
+
+    df, _ = _emb(spark, n=100)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = lsh_topk_multi(df, queries, dim=16, k=100, n_planes=4, n_tables=4).collect()
+    pairs = [(r.qid, r.doc_id) for r in res]
+    assert len(pairs) == len(set(pairs))
