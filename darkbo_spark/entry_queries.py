@@ -662,6 +662,25 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bpe_token_counts",
+    f"""
+SELECT doc_id, {ta.sql_token_count('text')} AS ws_tokens,
+       {ta.sql_bpe_token_count('text')} AS bpe_tokens
+FROM documents
+""",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whitespace vs BPE-ish regex token counts side by side — the
+    # LLM-pipeline token estimator (punctuation-heavy text undercounts
+    # under whitespace splitting)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ta.token_count(F.col("text")).alias("ws_tokens"),
+        ta.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -701,6 +720,29 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return token_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+
+
+_COSINE_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
+@_q("cosine_neardup_pairs", _COSINE_NEARDUP_ORACLE)
+def cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.dedup import cosine_neardup_pairs
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    return cosine_neardup_pairs(emb, "embedding", "vec_id", min_cosine=0.4)
 
 
 @_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest

@@ -50,6 +50,23 @@ def quality_score(text: Column) -> Column:
     return F.round(length_ok + punct_ok + tok_ok, 6)
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits with
+# leading-space attachment), restricted to constructs RE2 (DuckDB) and Java
+# regex (Spark) evaluate identically — no lookarounds
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex pre-tokenization — the
+    LLM-pipeline estimate (whitespace counting undercounts punctuation-heavy
+    text). Native regexp_extract_all, codegen'd."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def sql_bpe_token_count(text: str) -> str:
+    return f"len(regexp_extract_all({text}, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))"
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Stable content fingerprint of whitespace-normalized lowercase text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

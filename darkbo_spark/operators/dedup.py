@@ -161,6 +161,35 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Exact all-pairs form — the verification twin, oracle-sized inputs only
+    (O(n²) nested-loop). The 100 TB path is LSH-bucketed: sign-project both
+    sides (operators/similarity.lsh_topk_multi) and run this exact cosine
+    only within colliding buckets. Both engines compute the dot product in
+    element order and compare the SAME 6dp-rounded value, so the threshold
+    predicate is identical."""
+    from darkbo_spark.operators.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, min_jaccard: float = 0.5
 ) -> DataFrame:

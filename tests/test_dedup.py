@@ -91,3 +91,27 @@ def test_simhash_properties(spark):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     assert hamming(h1[0], h1[2]) < hamming(h1[0], h1[5])  # near-dup closer
+
+
+def test_cosine_neardup_pairs(spark):
+    """Embedding near-dup: identical direction → 1.0; orthogonal → dropped."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from darkbo_spark.operators.dedup import cosine_neardup_pairs
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # same direction as 0 → cosine 1.0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0/1
+        (3, [1.0, 1.0, 0.0]),   # 45° to 0/1 and 2 → cosine ≈ 0.7071
+    ]
+    df = spark.createDataFrame(pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs(df, min_cosine=0.5).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert abs(got[(0, 3)] - 0.707107) < 1e-6
+    assert abs(got[(1, 3)] - 0.707107) < 1e-6
+    assert abs(got[(2, 3)] - 0.707107) < 1e-6
+    assert (0, 2) not in got and (1, 2) not in got
