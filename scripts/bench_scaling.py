@@ -69,6 +69,11 @@ def run_level(cores: int) -> dict:
     cmd = prefix + [
         "spark-submit",
         "--master", f"local[{cores}]",
+        # spark.driver.memory set inside the session builder is IGNORED under
+        # spark-submit (the JVM is already up) → without this flag every level
+        # runs in the 1 GiB default heap, and GC pressure throttles the
+        # high-parallelism level hardest (more concurrent task buffers)
+        "--driver-memory", os.environ.get("SCALING_DRIVER_MEM", "12g"),
         os.path.join(REPO, "scripts", "run_kg.py"),
         "--pages", str(PAGES),
         "--seed", "42",
@@ -145,6 +150,9 @@ checkpoint skip); python-worker warm-up excluded from timing.
 Stage rows at both levels identical (deterministic per-row seeded
 generation): {best[n]['rows']}
 Per-stage wall seconds at N={best[n]['timings']} and 4N={best[n4]['timings']}
+(eid_map/kg_entities run in a concurrent job thread overlapping the page
+stages, so their per-stage wall includes task-slot wait — only the total
+wall / docs-per-sec is load-bearing.)
 """
         )
     print(json.dumps(summary))
