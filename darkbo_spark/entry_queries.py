@@ -438,7 +438,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAW_QUERY = 'what is a fast "table scan" when the window agg is slow'
 import re as _re  # noqa: E402
 
-from darkbo_spark.operators.queryparse import parse_query as _pq  # noqa: E402
+from darkbo_spark.operators.queryparse import (  # noqa: E402
+    parse_query as _pq,
+    phrase_regex as _phrase_regex,
+)
 from darkbo_spark.reference_impl import STOP_WORDS as _STOPS  # noqa: E402
 
 _PARSED = _pq(_RAW_QUERY)
@@ -464,7 +467,7 @@ matched AS (
 ),
 phrased AS (
   SELECT doc_id FROM documents
-  WHERE lower(text) LIKE '%{_PARSED.phrases[0]}%'
+  WHERE regexp_matches(lower(text), '{_phrase_regex(_PARSED.phrases[0])}')
 )
 SELECT tf.doc_id,
        CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
@@ -728,8 +731,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 """
 
 

@@ -52,8 +52,11 @@ def quality_score(text: Column) -> Column:
 
 # BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits with
 # leading-space attachment), restricted to constructs RE2 (DuckDB) and Java
-# regex (Spark) evaluate identically — no lookarounds
-BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# regex (Spark) evaluate identically: no lookarounds, and whitespace spelled
+# as an EXPLICIT class — Java's \s includes vertical tab (\x0B), RE2's does
+# not, so \s would diverge on \x0B-bearing text
+_WS = " \\t\\n\\r\\f\\x0B"
+BPE_PATTERN = f" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_WS}]+"
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -64,7 +67,10 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def sql_bpe_token_count(text: str) -> str:
-    return f"len(regexp_extract_all({text}, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))"
+    return (
+        f"len(regexp_extract_all({text},"
+        f" ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_WS}]+'))"
+    )
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -79,6 +80,7 @@ def run_pipeline(
     could GC an in-flight version."""
     res = PipelineResult()
     run_t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)  # the lock file needs the dir to exist
     lock = BuildLock(out_dir, "pipeline")
     lock_owner = f"run-{run_t0}"
     if not lock.acquire(lock_owner):
@@ -87,6 +89,7 @@ def run_pipeline(
         return _run_locked(
             spark, out_dir, pages, n_pages, seed, link_strategy, n_buckets,
             write_salt, input_fingerprint, cc_mode, res, run_t0,
+            heartbeat=lambda: lock.heartbeat(lock_owner),
         )
     finally:
         lock.release(lock_owner)
@@ -105,6 +108,7 @@ def _run_locked(
     cc_mode: str,
     res: PipelineResult,
     run_t0: float,
+    heartbeat=lambda: None,
 ) -> PipelineResult:
     if pages is None:
         # html is omitted: the extract stage reads `text` only, and a real
@@ -129,6 +133,7 @@ def _run_locked(
         if tbl.current_fingerprint() == fp:
             res.stages_skipped.append(name)
             return tbl, fp
+        heartbeat()  # long builds must not look stale to lock contenders
         t0 = time.time()
         df, partition_by = build()
         tbl.publish(df, fp, partition_by=partition_by)

@@ -172,21 +172,20 @@ def cosine_neardup_pairs(
     Exact all-pairs form — the verification twin, oracle-sized inputs only
     (O(n²) nested-loop). The 100 TB path is LSH-bucketed: sign-project both
     sides (operators/similarity.lsh_topk_multi) and run this exact cosine
-    only within colliding buckets. Both engines compute the dot product in
-    element order and compare the SAME 6dp-rounded value, so the threshold
-    predicate is identical."""
+    only within colliding buckets. The threshold applies to the UNROUNDED
+    cosine (a true value in [t-5e-7, t) must not pass via rounding); both
+    engines compute the dot product in element order, so the unrounded
+    doubles — and therefore the predicate — are identical. Only the
+    REPORTED value is rounded to 6dp."""
     from darkbo_spark.operators.similarity import cosine
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_c"))
+        .filter(F.col("_c") >= min_cosine)
+        .select("id_a", "id_b", F.round(F.col("_c"), 6).alias("cosine"))
     )
 
 

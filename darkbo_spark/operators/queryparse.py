@@ -57,6 +57,21 @@ def parse_query(text: str) -> ParsedQuery:
     return ParsedQuery(terms=terms, phrases=phrases)
 
 
+_NW = "[^0-9a-z_]"  # non-word class, spelled explicitly (identical in Java
+# regex and RE2/DuckDB; text is lowercased before matching)
+
+
+def phrase_regex(phrase: str) -> str | None:
+    """Analyzed-phrase pattern: the phrase's \\w+ words in order, separated
+    by runs of non-word chars, anchored on word boundaries. None when the
+    phrase has no word tokens."""
+    words = _WORD.findall(phrase.lower())
+    if not words:
+        return None
+    body = f"{_NW}+".join(words)
+    return f"(^|{_NW}){body}({_NW}|$)"
+
+
 def search_text(
     docs: DataFrame,
     query: str,
@@ -84,7 +99,13 @@ def search_text(
     else:
         matched = docs.select(F.col(id_col).alias("doc_id"))
     for ph in pq.phrases:
-        ph_docs = docs.filter(F.lower(F.col(text_col)).contains(F.lit(ph))).select(
+        pat = phrase_regex(ph)
+        if pat is None:
+            continue
+        # positional phrase semantics (Whoosh analyzed-phrase): the phrase
+        # WORDS in order, separated by non-word chars, on word boundaries —
+        # raw substring containment would match 'profi[table scan]dal'
+        ph_docs = docs.filter(F.lower(F.col(text_col)).rlike(pat)).select(
             F.col(id_col).alias("doc_id")
         )
         matched = matched.join(ph_docs, "doc_id", "left_semi")

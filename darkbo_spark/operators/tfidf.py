@@ -33,7 +33,9 @@ def _corpus_n(docs: DataFrame) -> DataFrame:
     return docs.agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-def _term_freq(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _term_freq(
+    docs: DataFrame, text_col: str, id_col: str, persist: bool = True
+) -> DataFrame:
     """(doc_id, token, tf), persisted: tf feeds several downstream rollups
     (df, dl, the scoring join) and Catalyst's column pruning rewrites each
     branch differently, defeating ReuseExchange — without persistence the
@@ -41,18 +43,26 @@ def _term_freq(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     plan). In production the postings are materialized once as the sparse
     index table (S13, SnapshotTable) and queries read that; the persist is
     the in-plan analog for self-contained queries (MEMORY_AND_DISK,
-    LRU-evicted under pressure)."""
+    LRU-evicted under pressure). Spark's CacheManager dedups by canonical
+    plan, so repeated builds over the SAME corpus share one cache entry;
+    callers creating many distinct throwaway corpora (tests) pass
+    persist=False."""
     from pyspark import StorageLevel
 
     toks = tokenize(docs, text_col, id_col)
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    return tf.persist(StorageLevel.MEMORY_AND_DISK)
+    return tf.persist(StorageLevel.MEMORY_AND_DISK) if persist else tf
 
 
-def build_postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
     """(token, doc_id, tf, idf, tf_idf) — ONE job: the corpus count is a
     broadcast single-row aggregate inside the plan, not a separate action."""
-    tf = _term_freq(docs, text_col, id_col)
+    tf = _term_freq(docs, text_col, id_col, persist=persist)
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf = df_t.crossJoin(F.broadcast(_corpus_n(docs))).withColumn(
         "idf", F.log((F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0
@@ -66,6 +76,7 @@ def build_bm25_postings(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    persist: bool = True,
 ) -> DataFrame:
     """(token, doc_id, w) BM25 postings — the true sparse channel of the
     reference (Whoosh BM25F scoring, behavior /root/reference/ai_worker.py:208-226;
@@ -82,7 +93,7 @@ def build_bm25_postings(
     # dl and df both derive FROM the persisted tf — the expensive
     # explode+shuffle over the raw tokens runs once; the rollups are
     # map-side-combinable aggregates over the (much smaller) term table
-    tf = _term_freq(docs, text_col, id_col)
+    tf = _term_freq(docs, text_col, id_col, persist=persist)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = F.broadcast(
@@ -115,9 +126,12 @@ def bm25_score_query(
     spark = bm25_postings.sparkSession
     import pandas as pd
 
-    q = spark.createDataFrame(
-        pd.DataFrame({"token": sorted({t.lower() for t in query_terms})})
-    )
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:  # empty pandas frame can't infer a schema
+        return bm25_postings.select(
+            "doc_id", F.lit(0.0).alias("score")
+        ).limit(0)
+    q = spark.createDataFrame(pd.DataFrame({"token": terms}))
     scored = (
         bm25_postings.join(F.broadcast(q), "token")
         .groupBy("doc_id")

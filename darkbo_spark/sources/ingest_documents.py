@@ -163,16 +163,22 @@ def extract_file_text_udf(path: pd.Series, content: pd.Series) -> pd.Series:
         if ext == "pdf" and HAS_PDF:
             import io
 
-            reader = PyPDF2.PdfReader(io.BytesIO(b))
-            pages = []
-            for page in reader.pages:
-                try:
-                    t = page.extract_text()
-                    if t.strip():
-                        pages.append(t)
-                except Exception:
-                    continue
-            return "\n\n".join(pages)
+            try:
+                reader = PyPDF2.PdfReader(io.BytesIO(b))
+                pages = []
+                for page in reader.pages:
+                    try:
+                        t = page.extract_text()
+                        if t.strip():
+                            pages.append(t)
+                    except Exception:
+                        continue
+                return "\n\n".join(pages)
+            except Exception:
+                # corrupt bytes must degrade the ROW, not crash the task —
+                # with the library absent the same input falls through to
+                # the placeholder, so lib-present must match
+                pass
         if ext == "pdf":  # stdlib fallback — plain/Flate text PDFs
             try:
                 t = extract_pdf_text(b)
@@ -182,14 +188,17 @@ def extract_file_text_udf(path: pd.Series, content: pd.Series) -> pd.Series:
         if ext in ("docx", "doc") and HAS_DOCX:
             import io
 
-            doc = _DocxDocument(io.BytesIO(b))
-            parts = [p.text for p in doc.paragraphs if p.text.strip()]
-            for table in doc.tables:
-                for row in table.rows:
-                    cells = [c.text.strip() for c in row.cells if c.text.strip()]
-                    if cells:
-                        parts.append(" | ".join(cells))
-            return "\n\n".join(parts)
+            try:
+                doc = _DocxDocument(io.BytesIO(b))
+                parts = [p.text for p in doc.paragraphs if p.text.strip()]
+                for table in doc.tables:
+                    for row in table.rows:
+                        cells = [c.text.strip() for c in row.cells if c.text.strip()]
+                        if cells:
+                            parts.append(" | ".join(cells))
+                return "\n\n".join(parts)
+            except Exception:
+                pass  # corrupt bytes → stdlib fallback → placeholder
         if ext == "docx":  # stdlib fallback — S6 works without python-docx
             try:
                 return extract_docx_text(b)

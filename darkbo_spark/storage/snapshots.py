@@ -125,11 +125,24 @@ class SnapshotTable:
         )
         committed = [v for v in versions if os.path.exists(os.path.join(self.dir, v, "meta.json"))]
         now = time.time()
+
+        def newest_mtime(vdir: str) -> float:
+            # the dir's own mtime freezes at creation; a LIVE write keeps
+            # bumping file mtimes underneath — staleness must use the newest
+            best = os.path.getmtime(vdir)
+            for root, _dirs, files in os.walk(vdir):
+                for fn in files:
+                    try:
+                        best = max(best, os.path.getmtime(os.path.join(root, fn)))
+                    except FileNotFoundError:
+                        continue  # writer moved a temp file mid-walk
+            return best
+
         stale_uncommitted = [
             v
             for v in versions
             if v not in committed
-            and now - os.path.getmtime(os.path.join(self.dir, v)) > uncommitted_stale_s
+            and now - newest_mtime(os.path.join(self.dir, v)) > uncommitted_stale_s
         ]
         doomed = [v for v in committed[:-retain_last] if v not in keep] + stale_uncommitted
         for v in doomed:
@@ -151,13 +164,32 @@ class BuildLock:
         try:
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            if time.time() - os.path.getmtime(self.path) > self.stale_after_s:
-                os.remove(self.path)  # stale takeover
+            try:
+                stale = time.time() - os.path.getmtime(self.path) > self.stale_after_s
+            except FileNotFoundError:
+                return self.acquire(owner)  # holder released between checks
+            if stale:
+                # ATOMIC takeover: rename the stale lock aside — exactly one
+                # contender wins the rename; remove-then-recreate would let a
+                # second contender delete the winner's fresh lock and both
+                # acquire (the concurrent-publish race the lock exists for)
+                grave = f"{self.path}.stale.{owner}.{os.getpid()}"
+                try:
+                    os.rename(self.path, grave)
+                except FileNotFoundError:
+                    return self.acquire(owner)  # another contender won
+                os.remove(grave)
                 return self.acquire(owner)
             return False
         with os.fdopen(fd, "w") as f:
             json.dump({"owner": owner, "ts": time.time()}, f)
         return True
+
+    def heartbeat(self, owner: str) -> None:
+        """Refresh the lock mtime so a long-running build isn't mistaken for
+        stale by a contender (call between stages)."""
+        if self.owner() == owner:
+            os.utime(self.path, None)
 
     def owner(self) -> Optional[str]:
         if not os.path.exists(self.path):
