@@ -748,6 +748,21 @@ def cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, "embedding", "vec_id", min_cosine=0.4)
 
 
+@_q("ann_ivf_topk")  # rows-only: exact-at-full-probe + recall floor in pytest
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4).select(
+        "qid", "doc_id", "score"
+    )
+
+
 @_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)

@@ -108,6 +108,97 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_ivf_centroids(
+    corpus, dim: int, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_cells: int = 16, n_train: int = 2000, iters: int = 8, seed: int = 42
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: Lloyd's k-means on a deterministic bounded
+    sample (lowest-id rows), trained driver-side — the standard IVF pattern
+    (the quantizer is tiny; the INDEX is distributed). Seeded init, fixed
+    iteration count → bit-reproducible across runs and parallelism."""
+    import numpy as np
+
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(n_train)
+        .toPandas()
+    )
+    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _cell_dots(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+
+
+def ivf_topk(
+    corpus,
+    queries,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    coarse centroid (one narrow map — the inverted file); each query probes
+    its `n_probe` nearest cells and scores only those cells' vectors. One
+    shuffle on cell id; corpus never fans out (unlike multi-table LSH's ×L
+    index), recall tuned by n_probe. At 100 TB the cell assignment is the
+    partition/bucket key of the stored index table, so probing prunes
+    partitions at the scan."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, vec_col, id_col, n_cells=n_cells, seed=seed
+        )
+    c_dots = _cell_dots(F.col(vec_col), centroids)
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("_cvec"),
+        (F.array_position(c_dots, F.array_max(c_dots)) - 1).cast("int").alias("cell"),
+    )
+    q_dots = _cell_dots(F.col(qvec_col), centroids)
+    # top n_probe cells per query: sort (dot, idx) structs desc, slice
+    idx_structs = F.transform(
+        q_dots, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+    )
+    probe_cells = F.slice(F.reverse(F.array_sort(idx_structs)), 1, n_probe)
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).alias("_qvec"),
+        F.explode(probe_cells).alias("pc"),
+    ).select("qid", "_qvec", F.col("pc.i").cast("int").alias("cell"))
+    scored = (
+        c.join(q, "cell")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk_multi(
     corpus: DataFrame,
     queries: DataFrame,

@@ -85,3 +85,43 @@ def test_multitable_pairs_scored_once(spark):
     res = lsh_topk_multi(df, queries, dim=16, k=100, n_planes=4, n_tables=4).collect()
     pairs = [(r.qid, r.doc_id) for r in res]
     assert len(pairs) == len(set(pairs))
+
+
+def test_ivf_topk_recall_and_exact_at_full_probe(spark):
+    from darkbo_spark.operators.similarity import ivf_topk
+
+    df, vecs = _emb(spark, n=300)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.qid, r.doc_id)
+        for r in brute_force_topk(df, queries, k=5).select("qid", "doc_id").collect()
+    }
+    # probing EVERY cell must reproduce brute force exactly (every corpus
+    # vector lives in exactly one cell, and all cells get scored)
+    full = {
+        (r.qid, r.doc_id)
+        for r in ivf_topk(df, queries, dim=16, k=5, n_cells=8, n_probe=8)
+        .select("qid", "doc_id").collect()
+    }
+    assert full == exact
+    # partial probe: measured recall floor + self-match always survives
+    part = {
+        (r.qid, r.doc_id)
+        for r in ivf_topk(df, queries, dim=16, k=5, n_cells=8, n_probe=2)
+        .select("qid", "doc_id").collect()
+    }
+    recall = len(exact & part) / len(exact)
+    assert recall >= 0.5
+    for qid in range(5):
+        assert (qid, qid) in part
+
+
+def test_ivf_centroids_deterministic(spark):
+    from darkbo_spark.operators.similarity import train_ivf_centroids
+
+    df, _ = _emb(spark, n=120)
+    a = train_ivf_centroids(df, dim=16, n_cells=6, seed=9)
+    b = train_ivf_centroids(df, dim=16, n_cells=6, seed=9)
+    assert a == b
