@@ -775,6 +775,14 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "text", "doc_id")
 
 
+@_q("simhash_neardup_pairs")  # rows-only: banded == brute-force in pytest
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
 # ---------------------------------------------------------------------------
 # Window / sessionization / JSON ops over events
 # ---------------------------------------------------------------------------
@@ -873,6 +881,98 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE + pivot-style conditional aggregation over events
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cube_event_stats",
+    """
+SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_band, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 4 AS BIGINT))
+""",
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_band", (F.col("user_id") % 4).cast("bigint")
+    )
+    return ev.cube("event_type", "user_band").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@_q(
+    "pivot_event_counts",
+    """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS views,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signups,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS errors
+FROM events WHERE user_id < 100 GROUP BY user_id
+""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot re-expressed as conditional aggregation (identical plan shape to
+    # df.groupBy().pivot() with a known value set, but portable to ANSI SQL)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(name)
+        for t, name in [
+            ("click", "clicks"), ("view", "views"), ("purchase", "purchases"),
+            ("signup", "signups"), ("error", "errors"),
+        ]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shaped 5-table join chain (dims broadcast, facts shuffle once)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
 
 

@@ -161,6 +161,66 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) ≤ k.
+
+    Scale shape = pigeonhole banding: split the 64-bit signature into
+    (max_hamming+1) bands — any pair within hamming k agrees EXACTLY on at
+    least one band — bucket-join on (band, band_bits), then verify true
+    hamming with native bit_count(xor). One shuffle on the band key, exact
+    verification only within buckets, degenerate buckets capped like the
+    MinHash path."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sig = simhash(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                # band i = bits [i*width, (i+1)*width); last band absorbs
+                # the remainder. UNSIGNED shift — bit 63 is set for half of
+                # all signatures and an arithmetic shift would sign-extend
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1 if i < n_bands - 1 else -1))
+                .alias("bits"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
+    sizes = banded.groupBy("band", "bits").agg(F.count("*").alias("sz"))
+    banded = banded.join(
+        sizes.filter(F.col("sz") <= max_bucket).drop("sz"), ["band", "bits"]
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",

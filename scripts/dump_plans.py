@@ -27,6 +27,7 @@ CHECKS = {
     "q1_pricing_summary": ["PushedFilters", "HashAggregate"],
     "q3_top_unshipped": ["BroadcastHashJoin", "PushedFilters"],
     "region_rollup": ["BroadcastHashJoin"],
+    "q5_local_supplier_volume": ["BroadcastHashJoin", "PushedFilters"],
     "flagship_relevance_topk": ["TakeOrderedAndProject"],
     "top5_orders": ["TakeOrderedAndProject"],
     "tfidf_topk": ["BroadcastHashJoin"],

@@ -115,3 +115,32 @@ def test_cosine_neardup_pairs(spark):
     assert abs(got[(1, 3)] - 0.707107) < 1e-6
     assert abs(got[(2, 3)] - 0.707107) < 1e-6
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_simhash_banded_pairs_equal_brute_force(spark):
+    """Pigeonhole banding is EXACT for hamming <= k (any pair within k
+    differing bits agrees on >=1 of k+1 disjoint bands): the banded join
+    must find precisely the brute-force pair set."""
+    import itertools
+
+    import pyspark.sql.functions as F
+    from darkbo_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    # build a corpus with real near-dups: repeated sentences with tiny edits
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" variant {i % 4}") for i in range(40)]
+    rows += [(100 + i, f"totally different document number {i} about spark") for i in range(10)]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+            want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3,
+                                       max_bucket=10_000).collect()
+    }
+    assert got == want and len(want) > 0
