@@ -37,9 +37,17 @@ HEADLINE = [
     "bm25_topk",
     "parsed_search_topk",
     "dense_topk",
+    "ann_multiprobe_topk",
+    "ann_ivf_topk",
+    "cosine_neardup_pairs",
+    "bpe_token_counts",
+    "q5_local_supplier_volume",
+    "cube_event_stats",
+    "pivot_event_counts",
     "token_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_docs",
+    "simhash_neardup_pairs",
     "dedup_first_wins",
     "running_totals",
     "sessionize_events",
@@ -49,6 +57,7 @@ HEADLINE = [
     "merge_upsert",
     "source_checksums",
     "hybrid_search",
+    "hybrid_search_bm25",
     "asof_events_orders",
     "rollup_lineitem",
     "window_rank_lag",

@@ -579,6 +579,80 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_merge({"dense": dense, "sparse": sparse, "basic": basic}, top_k=10)
 
 
+# the truest form of the reference's core query: dense ∪ BM25-sparse ∪ basic
+# (the reference's sparse channel IS Whoosh BM25, ai_worker.py:208-226)
+_HYBRID_BM25_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score,
+         0 AS pri
+  FROM embeddings e, q
+),
+{_BM25_CTES.strip()},
+sparse AS (
+  SELECT tf.doc_id AS id,
+         CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score,
+         1 AS pri
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+  WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
+  GROUP BY tf.doc_id
+),
+basic AS (
+  SELECT doc_id AS id,
+         {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} AS score,
+         2 AS pri
+  FROM documents
+  WHERE {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} > 0
+),
+unioned AS (
+  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM basic
+)
+SELECT id, score,
+       CASE pri WHEN 0 THEN 'dense' WHEN 1 THEN 'sparse' ELSE 'basic' END AS search_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pri ASC, score DESC) AS rk
+  FROM unioned
+) WHERE rk = 1
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
+@_q("hybrid_search_bm25", _HYBRID_BM25_ORACLE)
+def hybrid_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.hybrid import hybrid_merge
+    from darkbo_spark.operators.similarity import cosine
+    from darkbo_spark.operators.tfidf import build_bm25_postings
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    dense = emb.crossJoin(F.broadcast(qvec)).select(
+        F.col("vec_id").alias("id"),
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_bm25_postings(docs)
+    qterms = spark.createDataFrame([(t,) for t in _TFIDF_TERMS], ["token"])
+    sparse = (
+        postings.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"))
+        .select(F.col("doc_id").alias("id"), "score")
+    )
+    basic = docs.select(
+        F.col("doc_id").alias("id"),
+        relevance_score_col(FLAGSHIP_QUERY, F.lower("text"), F.lower("source")).alias(
+            "score"
+        ),
+    ).filter(F.col("score") > 0)
+    return hybrid_merge({"dense": dense, "sparse": sparse, "basic": basic}, top_k=10)
+
+
 # ---------------------------------------------------------------------------
 # Hash-agg checksum (A4)
 # ---------------------------------------------------------------------------
