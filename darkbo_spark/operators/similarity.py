@@ -62,15 +62,33 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _nested_lit(mat: list[list[float]]) -> Column:
+    # ONE py4j round-trip: both F.array(F.lit(...)) and F.lit(list) cost a
+    # JVM call per ELEMENT (measured ~2s for a 4×6×64 plane matrix); a
+    # single parsed SQL literal is one call. repr() round-trips doubles
+    # exactly.
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in mat
+    )
+    return F.expr(f"array({rows})")
+
+
 def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id from signs of dot products with fixed random hyperplanes."""
-    bucket = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(
-            dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-    return bucket
+    """Bucket id from signs of dot products with fixed random hyperplanes.
+
+    One nested-array literal + shared-lambda transform/aggregate: an
+    unrolled per-plane expression tree (N aggregates) costs seconds of
+    analysis/codegen at N·dim literals — the shared lambda compiles ONE
+    loop regardless of plane count."""
+    dots = F.transform(_nested_lit(planes), lambda p: dot(vec, p))
+    powers = F.expr(
+        "array(" + ", ".join(f"{1 << i}L" for i in range(len(planes))) + ")"
+    )
+    return F.aggregate(
+        F.zip_with(dots, powers, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -140,9 +158,8 @@ def train_ivf_centroids(
 
 
 def _cell_dots(vec: Column, centroids: list[list[float]]) -> Column:
-    return F.array(
-        *[dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
-    )
+    # shared-lambda transform over one nested literal (see _sign_bucket)
+    return F.transform(_nested_lit(centroids), lambda c: dot(vec, c))
 
 
 def ivf_topk(
@@ -240,30 +257,35 @@ def lsh_topk_multi(
         F.explode(c_entries).alias("tb"),
     ).select("doc_id", "_cvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
-    def probes(bucket: Column) -> Column:
-        if not multiprobe:
-            return F.array(bucket)
-        flips = [bucket] + [
-            bucket.bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
-            for i in range(n_planes)
-        ]
-        return F.array(*flips)
-
+    # materialize the per-table bucket FIRST, then derive Hamming-1 probes
+    # by flipping bits of the materialized COLUMN — embedding the bucket
+    # expression once per flip makes the analyzer re-traverse the shared
+    # subtree (1+n_planes)× per table
     q_entries = F.array(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                probes(_sign_bucket(F.col(qvec_col), planes)).alias("buckets"),
+                _sign_bucket(F.col(qvec_col), planes).alias("bucket"),
             )
             for t, planes in enumerate(tables)
         ]
     )
-    q = (
-        queries.select(
-            F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec"),
-            F.explode(q_entries).alias("tb"),
+    q_base = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qvec"),
+        F.explode(q_entries).alias("tb"),
+    ).select("qid", "_qvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("b0"))
+    if multiprobe:
+        flips = F.array(
+            F.col("b0"),
+            *[
+                F.col("b0").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
+                for i in range(n_planes)
+            ],
         )
-        .select("qid", "_qvec", F.col("tb.t").alias("t"), F.explode("tb.buckets").alias("bucket"))
+    else:
+        flips = F.array(F.col("b0"))
+    q = (
+        q_base.select("qid", "_qvec", "t", F.explode(flips).alias("bucket"))
         .distinct()
     )
     cand = (
