@@ -66,8 +66,10 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    import re as _re
+
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not _re.search(name_filter, name):
             continue
         try:
             df = fn(spark, sf_dir)
