@@ -372,9 +372,8 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = build_postings(docs).withColumn(
         "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
     )
-    q = spark.createDataFrame([(t,) for t in _TFIDF_TERMS], ["token"])
     scored = (
-        postings.join(F.broadcast(q), "token")
+        postings.join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
         .groupBy("doc_id")
         .agg(F.sum("tf_idf").cast("double").alias("score"))
     )
@@ -494,7 +493,14 @@ def parsed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dense-first precedence dedup + top-k)
 # ---------------------------------------------------------------------------
 
-_HYBRID_ORACLE = f"""
+# shared hybrid skeleton — the dense/basic channels, union, precedence
+# dedup and top-k are IDENTICAL across the tf·idf and BM25 variants; only
+# the sparse channel differs (one copy: edits to the skeleton can't
+# silently diverge between the two oracles / two Spark bodies)
+
+def _hybrid_oracle_sql(sparse_ctes: str, sparse_select: str) -> str:
+    basic_score = relevance_score_sql(FLAGSHIP_QUERY, "lower(text)", "lower(source)")
+    return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
 dense AS (
   SELECT e.vec_id AS id,
@@ -504,6 +510,58 @@ dense AS (
          0 AS pri
   FROM embeddings e, q
 ),
+{sparse_ctes},
+sparse AS ({sparse_select}),
+basic AS (
+  SELECT doc_id AS id, {basic_score} AS score, 2 AS pri
+  FROM documents
+  WHERE {basic_score} > 0
+),
+unioned AS (
+  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM basic
+)
+SELECT id, score,
+       CASE pri WHEN 0 THEN 'dense' WHEN 1 THEN 'sparse' ELSE 'basic' END AS search_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pri ASC, score DESC) AS rk
+  FROM unioned
+) WHERE rk = 1
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
+def _terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:
+    """Tiny literal term table via pandas/Arrow (createDataFrame on a plain
+    list takes the RDD-pickle path and spins a python task)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"token": list(terms)}))
+
+
+def _hybrid_dense_basic(spark: SparkSession, sf_dir: str):
+    """(docs, dense, basic) channels shared by both hybrid variants."""
+    from darkbo_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    dense = emb.crossJoin(F.broadcast(qvec)).select(
+        F.col("vec_id").alias("id"),
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    basic = docs.select(
+        F.col("doc_id").alias("id"),
+        relevance_score_col(FLAGSHIP_QUERY, F.lower("text"), F.lower("source")).alias(
+            "score"
+        ),
+    ).filter(F.col("score") > 0)
+    return docs, dense, basic
+
+
+_TFIDF_SPARSE_CTES = """
 toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
   FROM documents
@@ -513,143 +571,60 @@ toks AS (
 idf AS (
   SELECT token, ln((SELECT n_docs + 1 FROM n) * 1.0 / (COUNT(*) + 1)) + 1 AS idf
   FROM tf GROUP BY token
-),
-sparse AS (
+)""".strip()
+
+_TFIDF_SPARSE_SELECT = f"""
   SELECT tf.doc_id AS id,
          CAST(SUM(CAST(ROUND(tf.tf * idf.idf, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score,
          1 AS pri
   FROM tf JOIN idf USING (token)
   WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
   GROUP BY tf.doc_id
-),
-basic AS (
-  SELECT doc_id AS id,
-         {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} AS score,
-         2 AS pri
-  FROM documents
-  WHERE {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} > 0
-),
-unioned AS (
-  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM basic
-)
-SELECT id, score,
-       CASE pri WHEN 0 THEN 'dense' WHEN 1 THEN 'sparse' ELSE 'basic' END AS search_type
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pri ASC, score DESC) AS rk
-  FROM unioned
-) WHERE rk = 1
-ORDER BY score DESC, id ASC
-LIMIT 10
-"""
+""".strip()
 
 
-@_q("hybrid_search", _HYBRID_ORACLE)
+@_q("hybrid_search", _hybrid_oracle_sql(_TFIDF_SPARSE_CTES, _TFIDF_SPARSE_SELECT))
 def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.hybrid import hybrid_merge
-    from darkbo_spark.operators.similarity import cosine
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    dense = emb.crossJoin(F.broadcast(qvec)).select(
-        F.col("vec_id").alias("id"),
-        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
-    )
-    docs = _t(spark, sf_dir, "documents")
+    docs, dense, basic = _hybrid_dense_basic(spark, sf_dir)
     postings = build_postings(docs).withColumn(
         "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
     )
-    qterms = spark.createDataFrame([(t,) for t in _TFIDF_TERMS], ["token"])
     sparse = (
-        postings.join(F.broadcast(qterms), "token")
+        postings.join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
         .groupBy("doc_id")
         .agg(F.sum("tf_idf").cast("double").alias("score"))
         .select(F.col("doc_id").alias("id"), "score")
-    )
-    basic = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            relevance_score_col(
-                FLAGSHIP_QUERY, F.lower("text"), F.lower("source")
-            ).alias("score"),
-        )
-        .filter(F.col("score") > 0)
     )
     return hybrid_merge({"dense": dense, "sparse": sparse, "basic": basic}, top_k=10)
 
 
 # the truest form of the reference's core query: dense ∪ BM25-sparse ∪ basic
 # (the reference's sparse channel IS Whoosh BM25, ai_worker.py:208-226)
-_HYBRID_BM25_ORACLE = f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
-dense AS (
-  SELECT e.vec_id AS id,
-         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score,
-         0 AS pri
-  FROM embeddings e, q
-),
-{_BM25_CTES.strip()},
-sparse AS (
+_BM25_SPARSE_SELECT = f"""
   SELECT tf.doc_id AS id,
          CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score,
          1 AS pri
   FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
   WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
   GROUP BY tf.doc_id
-),
-basic AS (
-  SELECT doc_id AS id,
-         {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} AS score,
-         2 AS pri
-  FROM documents
-  WHERE {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} > 0
-),
-unioned AS (
-  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM basic
-)
-SELECT id, score,
-       CASE pri WHEN 0 THEN 'dense' WHEN 1 THEN 'sparse' ELSE 'basic' END AS search_type
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pri ASC, score DESC) AS rk
-  FROM unioned
-) WHERE rk = 1
-ORDER BY score DESC, id ASC
-LIMIT 10
-"""
+""".strip()
 
 
-@_q("hybrid_search_bm25", _HYBRID_BM25_ORACLE)
+@_q("hybrid_search_bm25", _hybrid_oracle_sql(_BM25_CTES.strip(), _BM25_SPARSE_SELECT))
 def hybrid_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.hybrid import hybrid_merge
-    from darkbo_spark.operators.similarity import cosine
     from darkbo_spark.operators.tfidf import build_bm25_postings
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    dense = emb.crossJoin(F.broadcast(qvec)).select(
-        F.col("vec_id").alias("id"),
-        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
-    )
-    docs = _t(spark, sf_dir, "documents")
-    postings = build_bm25_postings(docs)
-    qterms = spark.createDataFrame([(t,) for t in _TFIDF_TERMS], ["token"])
+    docs, dense, basic = _hybrid_dense_basic(spark, sf_dir)
     sparse = (
-        postings.join(F.broadcast(qterms), "token")
+        build_bm25_postings(docs)
+        .join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
         .groupBy("doc_id")
         .agg(F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"))
         .select(F.col("doc_id").alias("id"), "score")
     )
-    basic = docs.select(
-        F.col("doc_id").alias("id"),
-        relevance_score_col(FLAGSHIP_QUERY, F.lower("text"), F.lower("source")).alias(
-            "score"
-        ),
-    ).filter(F.col("score") > 0)
     return hybrid_merge({"dense": dense, "sparse": sparse, "basic": basic}, top_k=10)
 
 

@@ -89,6 +89,37 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame,
+    bucket_keys: list[str],
+    carry_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """Shared skeleton of every banded-LSH candidate join: drop degenerate
+    buckets (> max_bucket — boilerplate skew guard), self-join within equal
+    bucket keys, emit (id_a, id_b [, carry_a/carry_b...]) deduped.
+
+    `banded` (doc_id, *bucket_keys, *carry_cols) is PERSISTED here — it
+    feeds three differently-pruned branches (sizes agg, both join sides),
+    which otherwise each recompute the signature pipeline (the
+    ReuseExchange-defeat documented at tfidf._term_freq)."""
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = banded.groupBy(*bucket_keys).agg(F.count("*").alias("sz"))
+    capped = banded.join(
+        sizes.filter(F.col("sz") <= max_bucket).drop("sz"), bucket_keys
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for key in bucket_keys:
+        cond = (F.col(f"a.{key}") == F.col(f"b.{key}")) & cond
+    sel = [F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")]
+    sel += [F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols]
+    sel += [F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols]
+    return a.join(b, cond).select(*sel).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -116,23 +147,7 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
-    banded = banded.join(
-        sizes.filter(F.col("sz") <= max_bucket).drop("sz"), ["band", "bucket"]
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+    return _capped_bucket_pairs(banded, ["band", "bucket"], [], max_bucket)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -196,29 +211,18 @@ def simhash_neardup_pairs(
     banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
     )
-    sizes = banded.groupBy("band", "bits").agg(F.count("*").alias("sz"))
-    banded = banded.join(
-        sizes.filter(F.col("sz") <= max_bucket).drop("sz"), ["band", "bits"]
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+    cand = _capped_bucket_pairs(banded, ["band", "bits"], ["simhash"], max_bucket)
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
 
 
 def cosine_neardup_pairs(

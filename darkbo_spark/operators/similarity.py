@@ -143,6 +143,8 @@ def train_ivf_centroids(
         .toPandas()
     )
     x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if x.shape[1] != dim:
+        raise ValueError(f"embedding width {x.shape[1]} != declared dim {dim}")
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
@@ -194,16 +196,19 @@ def ivf_topk(
         (F.array_position(c_dots, F.array_max(c_dots)) - 1).cast("int").alias("cell"),
     )
     q_dots = _cell_dots(F.col(qvec_col), centroids)
-    # top n_probe cells per query: sort (dot, idx) structs desc, slice
+    # top n_probe cells per query: sort (dot, NEGATED idx) structs and
+    # reverse → dot desc, idx ASC on ties — the same lowest-index tie-break
+    # as the corpus side's array_position(max); opposite tie directions
+    # would send a query to the empty twin of a duplicated centroid
     idx_structs = F.transform(
-        q_dots, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+        q_dots, lambda d, i: F.struct(d.alias("d"), (-i).alias("ni"))
     )
     probe_cells = F.slice(F.reverse(F.array_sort(idx_structs)), 1, n_probe)
     q = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(qvec_col).alias("_qvec"),
         F.explode(probe_cells).alias("pc"),
-    ).select("qid", "_qvec", F.col("pc.i").cast("int").alias("cell"))
+    ).select("qid", "_qvec", (-F.col("pc.ni")).cast("int").alias("cell"))
     scored = (
         c.join(q, "cell")
         .select(

@@ -143,8 +143,13 @@ def bm25_score_query(
 def score_query(postings: DataFrame, query_terms: list[str], top_k: int = 10) -> DataFrame:
     """Top-k docs by Σ tf·idf over the query's terms. Query side is a tiny
     literal table → broadcast join; deterministic tie-break on doc_id."""
+    import pandas as pd
+
     spark = postings.sparkSession
-    q = spark.createDataFrame([(t.lower(),) for t in query_terms], ["token"]).distinct()
+    # pandas/Arrow path — createDataFrame(list) takes the RDD-pickle path
+    q = spark.createDataFrame(
+        pd.DataFrame({"token": sorted({t.lower() for t in query_terms})})
+    )
     scored = (
         postings.join(F.broadcast(q), "token")
         .groupBy("doc_id")
