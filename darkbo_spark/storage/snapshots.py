@@ -108,6 +108,32 @@ class SnapshotTable:
         assert cur, f"no current version for {self.name}"
         return os.path.join(self.dir, cur["version"], "data")
 
+    # -- time travel ----------------------------------------------------------
+    def versions(self) -> list[dict]:
+        """All COMMITTED versions' metadata, oldest first (Iceberg's
+        snapshot log over plain parquet)."""
+        out = []
+        for d in sorted(os.listdir(self.dir)):
+            meta = os.path.join(self.dir, d, "meta.json")
+            if d.startswith("v") and os.path.exists(meta):
+                with open(meta) as f:
+                    out.append(json.load(f))
+        return out
+
+    def read_version(self, spark: SparkSession, seq: int) -> DataFrame:
+        """Time travel: read the committed version with sequence `seq`
+        (`VERSION AS OF` over the snapshot layout). Retention permitting —
+        expire() keeps the last N."""
+        prefix = f"v{seq:05d}_"
+        for d in sorted(os.listdir(self.dir)):
+            if d.startswith(prefix) and os.path.exists(
+                os.path.join(self.dir, d, "meta.json")
+            ):
+                return spark.read.parquet(os.path.join(self.dir, d, "data"))
+        raise FileNotFoundError(
+            f"no committed version seq={seq} for table {self.name} (expired?)"
+        )
+
     # -- retention ----------------------------------------------------------
     def expire(self, retain_last: int = 3, uncommitted_stale_s: float = 3600.0) -> list[str]:
         """Delete all committed versions except the newest `retain_last`,

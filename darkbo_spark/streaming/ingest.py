@@ -80,6 +80,21 @@ def windowed_event_counts(
     ).agg(F.count("*").alias("n"))
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of A5/exact_dedup:
+    `dropDuplicatesWithinWatermark` keeps per-key state only for the
+    watermark horizon, so state size is bounded by the duplicate-arrival
+    window instead of the full stream history (the correct 100 TB/day
+    shape; an unbounded dropDuplicates would OOM the state store). Works on
+    a batch DF for plan testing (falls back to plain dropDuplicates)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 _SESSION_OUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -68,3 +68,19 @@ def test_stale_lock_takeover(tmp_path):
     assert lock.acquire("dead_run")
     assert lock.acquire("new_run")  # stale → takeover
     assert lock.owner() == "new_run"
+
+
+def test_time_travel_read_version(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "tt")
+    t.publish(_df(spark, 3), "fp_a")
+    t.publish(_df(spark, 5), "fp_b")
+    t.publish(_df(spark, 7), "fp_c")
+    metas = t.versions()
+    assert [m["seq"] for m in metas] == [1, 2, 3]
+    assert t.read_version(spark, 1).count() == 3
+    assert t.read_version(spark, 2).count() == 5
+    assert t.read(spark).count() == 7  # current = latest
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.read_version(spark, 9)

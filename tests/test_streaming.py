@@ -86,3 +86,39 @@ def test_sessionize_stream_matches_batch_sessions(spark, tmp_path):
     # state awaiting timeout
     got = {(r.user_id, r.n_events) for r in done}
     assert got == {(1, 3), (2, 3)}
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup twin: duplicate event_ids inside the watermark
+    horizon are dropped; state stays bounded by the horizon."""
+    from darkbo_spark.streaming.ingest import dedup_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, base),
+        (1, 10, base + dt.timedelta(minutes=1)),   # dup within horizon
+        (1, 11, base + dt.timedelta(minutes=2)),
+        (2, 10, base + dt.timedelta(minutes=3)),   # same event_id? no — keys
+        (2, 12, base + dt.timedelta(minutes=4)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+    src = str(tmp_path / "dedup_in")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, keys=["user_id", "event_id"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.event_id) for r in spark.sql("select * from dedup_out").collect()}
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 12)}
+    # batch twin: plain dropDuplicates on the same keys
+    batch = dedup_stream(spark.createDataFrame(pdf), keys=["user_id", "event_id"])
+    assert {(r.user_id, r.event_id) for r in batch.collect()} == got
