@@ -774,6 +774,30 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
 
 
+# composite training-data filter — the operators chained the way a corpus
+# pipeline actually uses them: language gate → quality gate → exact dedup
+# (first doc_id per fingerprint wins)
+_TRAIN_FILTER_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, md5(text) AS fingerprint
+  FROM documents
+  WHERE {ta.sql_lang_id('text')} = 'en_like' AND {ta.sql_quality_score('text')} >= 0.7
+)
+SELECT fingerprint, MIN(doc_id) AS doc_id
+FROM gated GROUP BY fingerprint
+"""
+
+
+@_q("training_data_filter", _TRAIN_FILTER_ORACLE)
+def training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (ta.lang_id_heuristic(F.col("text")) == "en_like")
+        & (ta.quality_score(F.col("text")) >= 0.7)
+    )
+    return exact_dedup(gated, "text", "doc_id").select("fingerprint", "doc_id")
+
+
 _COSINE_NEARDUP_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
