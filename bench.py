@@ -52,6 +52,7 @@ HEADLINE = [
     "running_totals",
     "sessionize_events",
     "exact_dedup_docs",
+    "training_data_filter",
     "quality_scores",
     "clean_text_parity",
     "merge_upsert",

@@ -60,3 +60,36 @@ def test_unconverged_raises(spark):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     with pytest.raises(ConvergenceError):
         connected_components(df, max_iter=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Star contraction vs a plain python union-find on seeded random
+    graphs (fixed seeds — no flake): labels must match exactly."""
+    import random
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+            for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # python union-find oracle
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+        got = {r.node: r.comp for r in connected_components(df).collect()}
+        assert got == want, f"seed {seed}"
