@@ -90,9 +90,13 @@ class SnapshotTable:
             **(extra_meta or {}),
         }
         # meta.json written last = commit marker (crash before this → version
-        # is invisible garbage, cleaned by expire)
-        with open(os.path.join(vdir, "meta.json"), "w") as f:
+        # is invisible garbage, cleaned by expire). Temp + atomic rename:
+        # versions()/read_version read its CONTENT, so a concurrent reader
+        # must never see a partially written marker
+        fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".meta.tmp")
+        with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, os.path.join(vdir, "meta.json"))
         self._swap_pointer({"version": version, "seq": seq, "fingerprint": fingerprint})
         return version
 
@@ -111,25 +115,28 @@ class SnapshotTable:
     # -- time travel ----------------------------------------------------------
     def versions(self) -> list[dict]:
         """All COMMITTED versions' metadata, oldest first (Iceberg's
-        snapshot log over plain parquet)."""
+        snapshot log over plain parquet). Tolerates a concurrent expire()
+        removing a version between listing and reading its marker."""
         out = []
         for d in sorted(os.listdir(self.dir)):
-            meta = os.path.join(self.dir, d, "meta.json")
-            if d.startswith("v") and os.path.exists(meta):
-                with open(meta) as f:
+            if not d.startswith("v"):
+                continue
+            try:
+                with open(os.path.join(self.dir, d, "meta.json")) as f:
                     out.append(json.load(f))
+            except FileNotFoundError:
+                continue  # uncommitted, or expired mid-scan
         return out
 
     def read_version(self, spark: SparkSession, seq: int) -> DataFrame:
         """Time travel: read the committed version with sequence `seq`
         (`VERSION AS OF` over the snapshot layout). Retention permitting —
         expire() keeps the last N."""
-        prefix = f"v{seq:05d}_"
-        for d in sorted(os.listdir(self.dir)):
-            if d.startswith(prefix) and os.path.exists(
-                os.path.join(self.dir, d, "meta.json")
-            ):
-                return spark.read.parquet(os.path.join(self.dir, d, "data"))
+        for meta in self.versions():
+            if meta["seq"] == seq:
+                return spark.read.parquet(
+                    os.path.join(self.dir, meta["version"], "data")
+                )
         raise FileNotFoundError(
             f"no committed version seq={seq} for table {self.name} (expired?)"
         )

@@ -81,17 +81,37 @@ def windowed_event_counts(
 
 
 def dedup_stream(
-    events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Streaming exact dedup — the streaming twin of A5/exact_dedup:
     `dropDuplicatesWithinWatermark` keeps per-key state only for the
     watermark horizon, so state size is bounded by the duplicate-arrival
     window instead of the full stream history (the correct 100 TB/day
-    shape; an unbounded dropDuplicates would OOM the state store). Works on
-    a batch DF for plan testing (falls back to plain dropDuplicates)."""
+    shape; an unbounded dropDuplicates would OOM the state store).
+
+    Streaming keeps the FIRST-ARRIVING row per key (inherent to the
+    operator). The batch fallback keeps a deterministic row only when
+    `tiebreak` is given (row_number over keys ordered by tiebreak);
+    without it, plain dropDuplicates keeps an arbitrary row — only the key
+    columns are deterministic."""
     keys = keys or ["event_id"]
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    if tiebreak:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in tiebreak])
+        return (
+            events.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
     return events.dropDuplicates(keys)
 
 

@@ -122,3 +122,16 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     # batch twin: plain dropDuplicates on the same keys
     batch = dedup_stream(spark.createDataFrame(pdf), keys=["user_id", "event_id"])
     assert {(r.user_id, r.event_id) for r in batch.collect()} == got
+
+
+def test_dedup_stream_batch_tiebreak_deterministic(spark):
+    pdf = pd.DataFrame(
+        {"user_id": [1, 1, 1], "event_id": [9, 3, 5],
+         "ts": [dt.datetime(2024, 1, 1)] * 3, "k": ["same"] * 3}
+    )
+    from darkbo_spark.streaming.ingest import dedup_stream
+
+    got = dedup_stream(
+        spark.createDataFrame(pdf), keys=["k"], tiebreak=["event_id"]
+    ).collect()
+    assert len(got) == 1 and got[0].event_id == 3  # min tiebreak wins
