@@ -1322,14 +1322,76 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("fuzzy_link_candidates")
 def fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
     from darkbo_spark.kg.link import fuzzy_candidates
     from darkbo_spark.kg.pages import entity_dictionary_df
 
     surfaces = spark.createDataFrame(
-        [("acme systems incorporated",), ("global holdings",), ("the quantum labs",)],
-        ["surface"],
+        pd.DataFrame(
+            {"surface": ["acme systems incorporated", "global holdings", "the quantum labs"]}
+        )
     )
     return fuzzy_candidates(surfaces, entity_dictionary_df(spark), min_jaccard=0.3)
+
+
+# the same fuzzy-candidate operator, oracled: the dictionary is the `part`
+# table (alias = p_name, eid = p_partkey) so DuckDB can replay it exactly
+_FUZZY_SURFACES = ["the small bolt", "red widget deluxe", "warm gear box"]
+
+_FUZZY_ORACLE = f"""
+WITH surf_raw AS (SELECT unnest({_FUZZY_SURFACES!r}) AS surface),
+surf AS (
+  SELECT DISTINCT regexp_replace(lower(trim(surface)), '^the ', '') AS s_norm FROM surf_raw
+),
+s_tok AS (
+  SELECT DISTINCT s_norm, len(string_split(s_norm, ' ')) AS s_size,
+         unnest(string_split(s_norm, ' ')) AS token
+  FROM surf
+),
+dic AS (
+  SELECT DISTINCT regexp_replace(lower(trim(p_name)), '^the ', '') AS alias_norm,
+         p_partkey AS eid
+  FROM part
+),
+d_tok AS (
+  SELECT DISTINCT alias_norm, eid, len(string_split(alias_norm, ' ')) AS d_size,
+         unnest(string_split(alias_norm, ' ')) AS token
+  FROM dic
+),
+inter AS (
+  SELECT s_norm, s_size, alias_norm, eid, d_size, COUNT(*) AS overlap
+  FROM s_tok JOIN d_tok USING (token)
+  GROUP BY s_norm, s_size, alias_norm, eid, d_size
+),
+scored AS (
+  SELECT s_norm, eid, alias_norm,
+         overlap * 1.0 / (s_size + d_size - overlap) AS jaccard
+  FROM inter
+  WHERE overlap * 1.0 / (s_size + d_size - overlap) >= 0.3
+)
+SELECT s_norm, eid, alias_norm, ROUND(jaccard, 6) AS jaccard
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY s_norm ORDER BY jaccard DESC, eid ASC, alias_norm ASC
+  ) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+@_q("fuzzy_link_parts", _FUZZY_ORACLE)
+def fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from darkbo_spark.kg.link import fuzzy_candidates
+
+    surfaces = spark.createDataFrame(pd.DataFrame({"surface": _FUZZY_SURFACES}))
+    dic = _t(spark, sf_dir, "part").select(
+        F.col("p_name").alias("alias"), F.col("p_partkey").alias("eid")
+    )
+    out = fuzzy_candidates(surfaces, dic, min_jaccard=0.3)
+    return out.select("s_norm", "eid", "alias_norm", F.round("jaccard", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
