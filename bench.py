@@ -43,7 +43,9 @@ HEADLINE = [
     "bpe_token_counts",
     "q5_local_supplier_volume",
     "cube_event_stats",
+    "grouping_sets_events",
     "pivot_event_counts",
+    "events_in_first_window",
     "token_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_docs",

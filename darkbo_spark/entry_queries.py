@@ -1006,6 +1006,70 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(*aggs)
 
 
+@_q(
+    "grouping_sets_events",
+    """
+SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_band, COUNT(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 4 AS BIGINT)), ())
+""",
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit GROUPING SETS (the general form behind cube/rollup) — SQL is
+    # the idiomatic Spark surface for it
+    _t(spark, sf_dir, "events").withColumn(
+        "user_band", (F.col("user_id") % 4).cast("bigint")
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_band, COUNT(*) AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_band), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: events inside each user's first-3-day window (equality on user
+# + ts-range predicate — the equality key carries the shuffle, the range is
+# a post-join filter, so the plan stays a hash join, not a theta product)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_in_first_window",
+    """
+WITH w AS (
+  SELECT user_id, MIN(ts) AS w_start FROM events WHERE user_id < 50 GROUP BY user_id
+)
+SELECT w.user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM w
+JOIN events e
+  ON e.user_id = w.user_id
+ AND e.ts >= w.w_start
+ AND e.ts < w.w_start + INTERVAL 3 DAY
+GROUP BY w.user_id
+""",
+)
+def events_in_first_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        e.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+    )
+    joined = e.alias("e").join(
+        w.alias("w"),
+        (F.col("e.user_id") == F.col("w.user_id"))
+        & (F.col("e.ts") >= F.col("w.w_start"))
+        & (F.col("e.ts") < F.col("w.w_start") + F.expr("INTERVAL 3 DAY")),
+    )
+    return joined.groupBy(F.col("w.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("e.value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q5-shaped 5-table join chain (dims broadcast, facts shuffle once)
 # ---------------------------------------------------------------------------
