@@ -1006,6 +1006,55 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(*aggs)
 
 
+# ---------------------------------------------------------------------------
+# Sketches — the 100 TB forms of quantiles and distinct counts. The exact
+# twins are oracled; the sketch variants are rows-only with accuracy-vs-
+# exact assertions in pytest (sketch internals aren't cross-engine).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "user_counts_exact",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def user_counts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q("user_counts_sketch")  # rows-only: HLL error bound asserted in pytest
+def user_counts_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approx_count_distinct (HyperLogLog++) — the scale path: one pass, no
+    # per-key distinct shuffle explosion, mergeable partial sketches
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("users_approx"))
+    )
+
+
+@_q("value_percentiles_sketch")  # rows-only: error vs exact asserted in pytest
+def value_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approx_percentile (Greenwald-Khanna style sketch) — mergeable,
+    # bounded-memory; the exact twin is the oracled value_percentiles
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50_approx"),
+            F.round(F.expr("approx_percentile(value, 0.95, 10000)"), 6).alias("p95_approx"),
+        )
+    )
+
+
 @_q(
     "grouping_sets_events",
     """
