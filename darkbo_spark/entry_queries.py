@@ -714,6 +714,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("rolling_fingerprints")  # rows-only: order-sensitivity props in pytest
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ta.rolling_fingerprint(F.col("text")).alias("rfp")
+    )
+
+
 @_q(
     "bpe_token_counts",
     f"""

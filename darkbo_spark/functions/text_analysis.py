@@ -78,6 +78,29 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+# Rabin-Karp-style rolling fingerprint constants: base/modulus sized so the
+# ANSI-mode accumulator never overflows int64 (acc < P ≈ 2^31, acc·B + h <
+# 2^31·2^20 + 2^31 < 2^52)
+_ROLL_B = 1 << 20
+_ROLL_P = (1 << 31) - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling hash of the token stream (Rabin-Karp
+    polynomial: h = Σ tok_i·B^(n-i) mod P) — unlike the md5 fingerprint,
+    sensitive to token ORDER with O(1) state per token; the incremental
+    form is what a streaming/windowed fingerprinter maintains. All native:
+    transform(xxhash64) + aggregate, no UDF."""
+    tok_hashes = F.transform(
+        tokens(text), lambda t: F.pmod(F.xxhash64(t), F.lit(_ROLL_P))
+    )
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: F.pmod(acc * _ROLL_B + h, F.lit(_ROLL_P)),
+    )
+
+
 # ---- ANSI-SQL twins (DuckDB) ----------------------------------------------
 
 def sql_token_count(text: str) -> str:

@@ -38,3 +38,40 @@ def test_approx_percentile_within_tolerance(spark):
         spread = max(abs(p95), 1.0)
         assert abs(a50 - p50) <= 0.05 * spread, (k, p50, a50)
         assert abs(a95 - p95) <= 0.05 * spread, (k, p95, a95)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """Rolling hash: equal token streams → equal; reordered/edited → differ;
+    matches a python twin computing the same polynomial over Spark's own
+    per-token hashes."""
+    import pandas as pd
+    from darkbo_spark.functions.text_analysis import (
+        _ROLL_B, _ROLL_P, rolling_fingerprint,
+    )
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma"),   # identical → same fp
+        (2, "gamma beta alpha"),   # reordered → different fp
+        (3, "alpha beta"),         # prefix → different fp
+        (4, ""),                   # empty → 0
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r.doc_id: r.rfp
+        for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("rfp")).collect()
+    }
+    assert got[0] == got[1]
+    assert got[0] != got[2] and got[0] != got[3]
+    assert got[4] == 0
+    # python twin over Spark's own token hashes (xxhash64 % P per token)
+    th = {
+        r.t: r.h
+        for r in spark.createDataFrame(
+            pd.DataFrame({"t": ["alpha", "beta", "gamma"]})
+        ).select("t", (F.pmod(F.xxhash64("t"), F.lit(_ROLL_P))).alias("h")).collect()
+    }
+    acc = 0
+    for t in ["alpha", "beta", "gamma"]:
+        acc = (acc * _ROLL_B + th[t]) % _ROLL_P
+    assert got[0] == acc
