@@ -1362,13 +1362,15 @@ def title_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Byte-identical clean_text parity (P1) — UDF vs DuckDB RE2 chain (ASCII corpus)
 # ---------------------------------------------------------------------------
 
+# \s is spelled as an explicit class: Python/Java \s includes \x0B, RE2's
+# does not (ASCII corpus assumption for \w stands, as documented)
 _CLEAN_ORACLE = r"""
-WITH c1 AS (SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents),
-c2 AS (SELECT doc_id, regexp_replace(t, '[^\w\s.,;:!?\-()\[\]"''/]', ' ', 'g') AS t FROM c1),
+WITH c1 AS (SELECT doc_id, regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g') AS t FROM documents),
+c2 AS (SELECT doc_id, regexp_replace(t, '[^\w \t\n\r\f\x0B.,;:!?\-()\[\]"''/]', ' ', 'g') AS t FROM c1),
 c3 AS (SELECT doc_id, regexp_replace(t, '\.{3,}', '...', 'g') AS t FROM c2),
 c4 AS (SELECT doc_id, regexp_replace(t, '-{3,}', '---', 'g') AS t FROM c3),
-c5 AS (SELECT doc_id, regexp_replace(t, '\s+([,.;:!?])', '\1', 'g') AS t FROM c4),
-c6 AS (SELECT doc_id, regexp_replace(t, '([,.;:!?])\s*([,.;:!?])', '\1 \2', 'g') AS t FROM c5),
+c5 AS (SELECT doc_id, regexp_replace(t, '[ \t\n\r\f\x0B]+([,.;:!?])', '\1', 'g') AS t FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(t, '([,.;:!?])[ \t\n\r\f\x0B]*([,.;:!?])', '\1 \2', 'g') AS t FROM c5),
 c7 AS (SELECT doc_id, trim(t) AS line FROM c6)
 SELECT doc_id,
        md5(CASE WHEN length(line) > 10 OR (length(line) > 3 AND regexp_matches(line, '[A-Za-z]'))

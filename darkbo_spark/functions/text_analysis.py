@@ -74,8 +74,10 @@ def sql_bpe_token_count(text: str) -> str:
 
 
 def doc_fingerprint(text: Column) -> Column:
-    """Stable content fingerprint of whitespace-normalized lowercase text."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+    """Stable content fingerprint of whitespace-normalized lowercase text.
+    Whitespace spelled as the explicit class (see BPE_PATTERN): Java \\s
+    includes \\x0B, RE2's does not — the oracle must agree byte-for-byte."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), f"[{_WS}]+", " "))
 
 
 # Rabin-Karp-style rolling fingerprint constants: base/modulus sized so the
@@ -142,4 +144,4 @@ def sql_quality_score(text: str) -> str:
 
 
 def sql_doc_fingerprint(text: str) -> str:
-    return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"
+    return f"md5(regexp_replace(lower(trim({text})), '[{_WS}]+', ' ', 'g'))"

@@ -258,14 +258,12 @@ def token_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs sharing ≥1 token. Oracle-sized
     inputs only — the LSH path is the scale plan."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-    )
+    # no .distinct() needed: array_distinct already dedups tokens per doc
+    # and doc_ids are unique — the extra full shuffle was pure waste
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))).alias("token"),
+    ).filter(F.col("token") != "")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     t = toks
     inter = (

@@ -153,6 +153,14 @@ def score_query(postings: DataFrame, query_terms: list[str], top_k: int = 10) ->
     scored = (
         postings.join(F.broadcast(q), "token")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("tf_idf"), 6).alias("score"))
+        # per-term 6dp round → DECIMAL sum → double: a raw-double SUM
+        # accumulates in partial-aggregation order, so a score straddling a
+        # rounding boundary could flip run-to-run (the repo's standard float
+        # discipline, same as bm25_score_query)
+        .agg(
+            F.sum(F.round(F.col("tf_idf"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score")
+        )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)

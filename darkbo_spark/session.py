@@ -26,9 +26,11 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        # local[N] → N is the parallelism; a real cluster overrides via --conf
-        n = cpus if "local" in master else 2048
-        shuffle_partitions = max(2 * n, 8) if "local" in master else n
+        # local[N] → N is the parallelism; a real cluster overrides via --conf.
+        # startswith, not substring: spark://localhost:7077 is NOT local mode
+        is_local = master.startswith("local")
+        n = cpus if is_local else 2048
+        shuffle_partitions = max(2 * n, 8) if is_local else n
 
     builder = (
         SparkSession.builder.appName(app_name)

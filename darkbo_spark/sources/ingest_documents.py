@@ -173,7 +173,10 @@ def extract_file_text_udf(path: pd.Series, content: pd.Series) -> pd.Series:
                             pages.append(t)
                     except Exception:
                         continue
-                return "\n\n".join(pages)
+                if pages:
+                    return "\n\n".join(pages)
+                # zero extracted text (image-only PDF): fall through so the
+                # row degrades identically with or without the library
             except Exception:
                 # corrupt bytes must degrade the ROW, not crash the task —
                 # with the library absent the same input falls through to

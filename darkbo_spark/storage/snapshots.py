@@ -73,7 +73,12 @@ class SnapshotTable:
         cur = self.current()
         if cur and cur.get("fingerprint") == fingerprint:
             return cur["version"]
-        seq = (cur["seq"] + 1) if cur else 1
+        # next seq = 1 + max over ALL committed versions, not just the
+        # pointer: a publish that crashed between the meta.json commit
+        # marker and the pointer swap leaves a committed-looking orphan
+        # whose seq would otherwise be reused, making time travel ambiguous
+        committed_seqs = [m["seq"] for m in self.versions()]
+        seq = max(committed_seqs + [cur["seq"] if cur else 0]) + 1
         version = f"v{seq:05d}_{fingerprint[:8]}"
         vdir = os.path.join(self.dir, version)
         data_dir = os.path.join(vdir, "data")
@@ -222,17 +227,26 @@ class BuildLock:
         """Refresh the lock mtime so a long-running build isn't mistaken for
         stale by a contender (call between stages)."""
         if self.owner() == owner:
-            os.utime(self.path, None)
+            try:
+                os.utime(self.path, None)
+            except FileNotFoundError:
+                pass  # stolen between check and touch — holder finds out at release
 
     def owner(self) -> Optional[str]:
-        if not os.path.exists(self.path):
+        try:
+            with open(self.path) as f:
+                return json.load(f).get("owner")
+        except (FileNotFoundError, json.JSONDecodeError):
+            # vanished (released / stolen-stale) or mid-write between a
+            # contender's O_EXCL create and its json.dump
             return None
-        with open(self.path) as f:
-            return json.load(f).get("owner")
 
     def release(self, owner: str) -> None:
         if self.owner() == owner:
-            os.remove(self.path)
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass  # stolen between check and remove — nothing to release
 
 
 def partition_metrics(spark: SparkSession, data_path: str) -> list[dict]:

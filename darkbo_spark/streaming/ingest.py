@@ -155,18 +155,36 @@ def _session_fn(gap_seconds: int):
         for pdf in pdfs:
             ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
         ts_list.sort()
-        closed = []
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = ts_list[0], ts_list[0], 0
+        gap_us = gap_seconds * 1_000_000
+        # interval-merge semantics so LATE (out-of-order, cross-batch)
+        # events behave like the batch twin: an event within `gap` BEFORE
+        # the open session extends it backwards; one further back becomes
+        # its own (immediately closed) session instead of being silently
+        # absorbed. Residual divergence vs batch: a session already emitted
+        # can't be reopened by even-later arrivals — inherent to streaming
+        # without watermark buffering.
+        intervals: list[list[int]] = []  # [start_us, end_us, n]
         for t in ts_list:
-            if t - last_us > gap_seconds * 1_000_000:
-                closed.append((start_us, last_us, n))
-                start_us, n = t, 0
-            last_us = max(last_us, t)
-            n += 1
-        state.update((start_us, last_us, n))
+            if intervals and t - intervals[-1][1] <= gap_us:
+                intervals[-1][1] = max(intervals[-1][1], t)
+                intervals[-1][2] += 1
+            else:
+                intervals.append([t, t, 1])
+        if state.exists:
+            s0, l0, n0 = state.get
+            intervals.append([s0, l0, n0])
+            intervals.sort()
+            merged: list[list[int]] = []
+            for iv in intervals:
+                if merged and iv[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                    merged[-1][2] += iv[2]
+                else:
+                    merged.append(iv)
+            intervals = merged
+        *closed_iv, open_iv = intervals
+        closed = [tuple(iv) for iv in closed_iv]
+        state.update((open_iv[0], open_iv[1], open_iv[2]))
         state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(

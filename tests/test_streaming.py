@@ -135,3 +135,60 @@ def test_dedup_stream_batch_tiebreak_deterministic(spark):
         spark.createDataFrame(pdf), keys=["k"], tiebreak=["event_id"]
     ).collect()
     assert len(got) == 1 and got[0].event_id == 3  # min tiebreak wins
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the session function."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _run_batch(fn, state, minutes):
+    pdf = pd.DataFrame(
+        {"ts": [pd.Timestamp(dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)) for m in minutes]}
+    )
+    return list(fn((7,), iter([pdf]), state))
+
+
+def test_session_fn_late_event_cross_batch():
+    """A late event older than the open session must NOT be silently
+    absorbed: within-gap extends the session backwards, far-before becomes
+    its own closed session — matching the batch twin's gap rule."""
+    from darkbo_spark.streaming.ingest import _session_fn
+
+    fn = _session_fn(30 * 60)  # 30-minute gap
+
+    # case 1: within-gap late event extends the open session backwards
+    st = _FakeState()
+    assert _run_batch(fn, st, [120]) == []          # open session at 2:00
+    assert _run_batch(fn, st, [100]) == []          # 1:40, within 30min gap
+    s, e, n = st.get
+    assert (pd.Timestamp(s, unit="us").minute, n) == (40, 2)  # start moved back
+
+    # case 2: far-before late event becomes its own closed session
+    st2 = _FakeState()
+    _run_batch(fn, st2, [120])                      # open at 2:00
+    out = _run_batch(fn, st2, [0])                  # 0:00 — 2h earlier
+    assert len(out) == 1 and out[0].n_events.tolist() == [1]
+    assert out[0].session_start.dt.minute.tolist() == [0]
+    s, e, n = st2.get
+    assert n == 1  # the 2:00 session stays open, uncorrupted
