@@ -5,9 +5,9 @@ and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed to full materialization (noop sink for wide results,
-collect for top-k results). The KG pipeline runs against a fresh output dir
-(no checkpoint skip) and reports docs/sec alongside.
+Each query is timed to full materialization via the noop sink (uniformly —
+no driver transfer in any timing). The KG pipeline runs against a fresh
+output dir (no checkpoint skip) and reports docs/sec alongside.
 """
 
 from __future__ import annotations
@@ -74,7 +74,10 @@ KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from darkbo_spark.session import get_spark

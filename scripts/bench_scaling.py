@@ -43,11 +43,27 @@ def _cgroup_quota_prefix(cores: int) -> list[str] | None:
             f.write("100000")
         with open(os.path.join(cg, "cpu.cfs_quota_us"), "w") as f:
             f.write(str(cores * 100000))
+        # PROBE the attach too: quota files being writable doesn't imply
+        # task attachment works (delegated/hybrid cgroup setups) — if the
+        # helper silently failed to attach, the job would run unconstrained
+        # and record a FALSE scaling pass
+        probe = subprocess.run(
+            ["bash", "-c", f"echo $$ > {cg}/cgroup.procs"], capture_output=True
+        )
+        if probe.returncode != 0:
+            return None
     except OSError:
         return None
     helper = os.path.join(tempfile.gettempdir(), f"cg_enter_{cores}.sh")
     with open(helper, "w") as f:
-        f.write(f"#!/bin/bash\necho $$ > {cg}/cgroup.procs\nexec \"$@\"\n")
+        # set -e + verification: a failed attach must abort the run, not
+        # silently measure an unconstrained job
+        f.write(
+            "#!/bin/bash\nset -e\n"
+            f"echo $$ > {cg}/cgroup.procs\n"
+            f"grep -qx $$ {cg}/cgroup.procs\n"
+            'exec "$@"\n'
+        )
     os.chmod(helper, 0o755)
     return [helper]
 
@@ -64,8 +80,10 @@ def run_level(cores: int) -> dict:
     #    the small level's cpuset idles cooler and turbos higher, biasing
     #    the ratio LOW.
     prefix = _cgroup_quota_prefix(cores)
+    mechanism = "cgroup-cfs-quota"
     if prefix is None:
         prefix = ["taskset", "-c", f"0-{2 * cores - 1}"]
+        mechanism = "taskset-cpuset"
     cmd = prefix + [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -86,11 +104,15 @@ def run_level(cores: int) -> dict:
     if not lines:
         raise RuntimeError(f"run failed at local[{cores}]:\n{proc.stderr[-2000:]}")
     res = json.loads(lines[-1])
+    res["isolation"] = mechanism
     shutil.rmtree(out, ignore_errors=True)
     return res
 
 
 def main() -> int:
+    assert len(LEVELS) == 2, (
+        f"SCALING_LEVELS must be exactly two parallelism levels (N,4N), got {LEVELS}"
+    )
     runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for t in range(TRIALS):
         for c in LEVELS:  # interleaved so background noise hits both levels
@@ -101,10 +123,12 @@ def main() -> int:
     n, n4 = LEVELS
     t_n, t_4n = best[n]["docs_per_sec"], best[n4]["docs_per_sec"]
     eff = (t_4n / t_n) / (n4 / n)
+    mechanisms = sorted({r["isolation"] for rs in runs.values() for r in rs})
     summary = {
         "pages": PAGES,
         "levels": LEVELS,
         "trials": TRIALS,
+        "isolation": mechanisms,
         f"docs_per_sec_local{n}": t_n,
         f"docs_per_sec_local{n4}": t_4n,
         "all_trials": {str(c): [r["docs_per_sec"] for r in rs] for c, rs in runs.items()},
@@ -128,13 +152,16 @@ threads busy (k JVM task threads + k pipelined Python workers), so
 local[{n4}] is the largest 4N level whose threads fit this 32-vCPU box —
 oversubscription would measure scheduler contention, not scaling.
 
-Each level runs under a **cgroup CFS quota of exactly N (resp. 4N) cores
-of CPU bandwidth** with threads free over all physical cores: per-slice
-core speed is identical at both levels, so the ratio measures the
-pipeline's parallel scalability rather than the box's turbo/SMT asymmetry
-(a taskset-pinned small level idles 28 cores and turbos higher, biasing
-the ratio low — measured 0.76 under taskset vs the quota number below;
-the box's own raw-CPU ceiling, 16 python burn procs vs 4 under the same
+Isolation mechanism actually used this run: **{", ".join(mechanisms)}**
+(recorded per-trial; the attach is probed AND verified inside the helper
+with set -e, so a silently-unconstrained run cannot be recorded).
+Preferred: cgroup CFS quota of exactly N (resp. 4N) cores of CPU
+bandwidth with threads free over all physical cores — per-slice core
+speed is identical at both levels, so the ratio measures the pipeline's
+parallel scalability rather than the box's turbo/SMT asymmetry. Fallback
+when cgroups aren't attachable: taskset cpuset of 2N cpus, which biases
+the ratio LOW (measured 0.76 under taskset vs 0.86 under quotas; the
+box's own raw-CPU ceiling, 16 python burn procs vs 4 under the same
 quotas, measures 0.87). Runs are interleaved best-of-{TRIALS}
 (noisy-neighbor background load); fresh output dir each run (no
 checkpoint skip); python-worker warm-up excluded from timing.

@@ -83,7 +83,8 @@ def main() -> int:
     out.append("```\n" + plan[:4000] + "\n```\n")
 
     os.makedirs("docs", exist_ok=True)
-    with open("docs/PLANS.md", "w") as f:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "docs", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     spark.stop()
     print(f"\nwrote docs/PLANS.md; {len(failures)} check failures: {failures}")

@@ -30,7 +30,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)  # +0.0 folds -0.0 into 0.0
     if isinstance(v, (datetime.datetime,)):
         return v.replace(tzinfo=None).isoformat()
     return str(v)
@@ -80,7 +80,12 @@ def main():
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            if len(srows) == 0:
+                # a regression that empties an operator must not pass green
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+                failed.append(name)
+            else:
+                print(f"rows  {name}: {len(srows)} rows (rows-only check)")
             continue
         try:
             cur = con.execute(oracles[name])

@@ -152,7 +152,8 @@ def test_input_change_triggers_rebuild(spark, out_dir, result):
 
 
 def test_metrics_and_retention(spark, out_dir, result):
-    m = result.tables.get("_metrics")
+    import os
+
     from darkbo_spark.storage.snapshots import SnapshotTable
 
     mt = SnapshotTable(out_dir, "_metrics")
@@ -160,6 +161,13 @@ def test_metrics_and_retention(spark, out_dir, result):
     stages = {r.stage for r in rows}
     assert {"docs", "raw_triples", "kg_triples"} <= stages
     assert all(r.rows >= 0 for r in rows)
+    # retention actually enforced: the pipeline expires to keep-last-3, so
+    # no table dir may accumulate more than 3 committed versions (earlier
+    # tests reran the pipeline with changed inputs = multiple publishes)
+    for name in ("docs", "raw_triples", "kg_triples", "eid_map", "kg_entities"):
+        tbl = SnapshotTable(out_dir, name)
+        committed = tbl.versions()
+        assert len(committed) <= 3, (name, [m["version"] for m in committed])
 
 
 def test_pipeline_distributed_cc(spark):

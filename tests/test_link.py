@@ -12,7 +12,7 @@ from darkbo_spark.reference_impl import uuid5_id
 def test_fuzzy_candidates_pick_best_overlap(spark):
     d = entity_dictionary_df(spark)
     surfaces = spark.createDataFrame(
-        [("acme systems incorporated",), ("the stellar labs",)], ["surface"]
+        pd.DataFrame({"surface": ["acme systems incorporated", "the stellar labs"]})
     )
     got = {r.s_norm: r.eid for r in fuzzy_candidates(surfaces, d, min_jaccard=0.3).collect()}
     assert got["acme systems incorporated"] == uuid5_id("entity", "Acme Systems")
@@ -21,7 +21,7 @@ def test_fuzzy_candidates_pick_best_overlap(spark):
 
 def test_fuzzy_threshold_filters(spark):
     d = entity_dictionary_df(spark)
-    surfaces = spark.createDataFrame([("utterly unrelated words",)], ["surface"])
+    surfaces = spark.createDataFrame(pd.DataFrame({"surface": ["utterly unrelated words"]}))
     assert fuzzy_candidates(surfaces, d, min_jaccard=0.5).count() == 0
 
 

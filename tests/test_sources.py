@@ -3,6 +3,7 @@ fallback decoding, document ingestion end-to-end."""
 
 import json
 
+import pandas as pd
 import pyspark.sql.functions as F
 
 from darkbo_spark import reference_impl as ref
@@ -96,9 +97,10 @@ def test_text_fallback_decoding(spark, tmp_path):
 def test_ingest_documents_end_to_end(spark, tmp_path):
     long_text = ("A sentence about knowledge bases. " * 80).encode()
     files = spark.createDataFrame(
-        [("docs/annual_report-2024.txt", bytearray(long_text)),
-         ("docs/image.bin", bytearray(b"\x00\x01"))],
-        "path string, content binary",
+        pd.DataFrame(
+            {"path": ["docs/annual_report-2024.txt", "docs/image.bin"],
+             "content": [long_text, b"\x00\x01"]}
+        )
     )
     out = ingest_documents(files, "175").collect()
     by_article = {}
