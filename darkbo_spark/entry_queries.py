@@ -405,10 +405,14 @@ s AS (
 """
 
 # per-(token, doc) BM25 weight — mirrors the Spark column expression term by
-# term (identical IEEE-double op order; 6dp round → decimal sum → exact)
+# term. The 2.2 literal is cast to DOUBLE so DuckDB multiplies in IEEE
+# doubles like Spark does (bare `tf * 2.2` would be exact DECIMAL(21,1) and
+# could land on the other side of the 6dp rounding boundary); 6dp round →
+# decimal sum → exact.
 _BM25_W = (
     "ROUND(ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5))"
-    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM s)))), 6)"
+    " * ((tf * CAST(2.2 AS DOUBLE))"
+    " / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM s)))), 6)"
 )
 
 _BM25_ORACLE = f"""
@@ -843,6 +847,64 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-query brute-force cosine top-5 — the shared oracle for the ANN
+# exactness points below (full-probe IVF / exhaustive-probe LSH provably
+# equal brute force; the equality is ALSO asserted in pytest)
+_DENSE_MULTI_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
+  FROM embeddings e, q
+), ranked AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, doc_id, score FROM ranked WHERE rk <= 5
+"""
+
+
+def _ann_inputs(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return emb, queries
+
+
+@_q("ann_ivf_full_probe", _DENSE_MULTI_ORACLE)
+def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at n_probe == n_cells: every query scores every cell, so the
+    candidate set is the whole corpus and the result EQUALS brute force —
+    the ANN machinery (cell assignment, probe ranking, per-cell join)
+    driver-verified against the exact cosine oracle."""
+    from darkbo_spark.operators.similarity import ivf_topk
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=16).select(
+        "qid", "doc_id", "score"
+    )
+
+
+@_q("ann_multiprobe_exact", _DENSE_MULTI_ORACLE)
+def ann_multiprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH at exhaustive coverage: with n_planes=1 there are
+    exactly two buckets and Hamming-1 probing visits both, so every
+    (query, doc) pair is a candidate and the result EQUALS brute force —
+    the multi-table/multi-probe plumbing driver-verified exactly."""
+    from darkbo_spark.operators.similarity import lsh_topk_multi
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    return lsh_topk_multi(
+        emb, queries, dim=64, k=5, n_planes=1, n_tables=2, multiprobe=True
+    ).select("qid", "doc_id", "score")
+
+
 @_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -861,6 +923,125 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-hash twins: the SAME MinHash-LSH / SimHash banding pipelines
+# with hash_mode="portable" (md5-60 instead of xxhash64), so DuckDB replays
+# the IDENTICAL algorithm end-to-end and the driver hash-verifies the
+# output. The xxhash64 form stays the production path; these twins prove
+# the banding/cap/self-join machinery bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# the portable 60-bit hash, in each engine's dialect (values verified equal)
+_PH60_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_portable_oracle(
+    k: int, bands: int, n: int, seed: int, max_bucket: int, id_limit: int
+) -> str:
+    from darkbo_spark.operators.dedup import _MERSENNE_P, _perm_constants
+
+    consts = _perm_constants(k, seed)
+    r = k // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+              FROM documents WHERE doc_id < {id_limit}),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - {n}, 0) + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS shingle
+  FROM docs
+), hashed AS (
+  SELECT doc_id, {_PH60_DUCK.format(s='shingle')} % {_MERSENNE_P} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), sizes AS (SELECT band, bucket, COUNT(*) AS sz FROM banded GROUP BY band, bucket),
+capped AS (
+  SELECT banded.doc_id, banded.band, banded.bucket
+  FROM banded JOIN sizes USING (band, bucket) WHERE sz <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_portable_oracle(max_hamming: int, max_bucket: int, id_limit: int) -> str:
+    nbits = 60
+    n_bands = max_hamming + 1
+    width = nbits // n_bands
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(nbits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sim, {i} AS band,"
+        f" (sim >> {i * width}) & {(1 << width) - 1} AS bits FROM sims"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS token
+  FROM documents WHERE doc_id < {id_limit}
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY doc_id, token
+), h AS (
+  SELECT doc_id, tf, {_PH60_DUCK.format(s='token')} AS h FROM tf
+), agg AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS sim FROM agg
+), banded AS (
+  {band_rows}
+), sizes AS (SELECT band, bits, COUNT(*) AS sz FROM banded GROUP BY band, bits),
+capped AS (
+  SELECT banded.doc_id, banded.sim, banded.band, banded.bits
+  FROM banded JOIN sizes USING (band, bits) WHERE sz <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@_q("minhash_lsh_pairs_x", _minhash_portable_oracle(16, 4, 3, 42, 500, 200))
+def minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
+    )
+
+
+@_q("simhash_neardup_pairs_x", _simhash_portable_oracle(3, 500, 200))
+def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=3, hash_mode="portable", persist=False
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,8 +15,10 @@ Scale notes:
   (shrinking) edge set.
 * Lineage is truncated every round with localCheckpoint, otherwise the
   plan re-executes all prior rounds.
-* Convergence is detected exactly (count + order-insensitive hash of the
-  edge set, ONE extra job per round); exhausting `max_iter` without
+* Convergence is detected EXACTLY: both rounds' edge frames are distinct
+  sets, so symmetric-difference emptiness (`exceptAll` both ways, one
+  extra job per round over already-checkpointed frames) is set equality —
+  no hash-collision failure mode. Exhausting `max_iter` without
   converging RAISES — silently-unconverged labels would mis-merge
   entities downstream with no error signal.
 * Component labels are the MIN node id (stable, deterministic).
@@ -37,16 +39,11 @@ class ConvergenceError(RuntimeError):
     """Raised when CC exhausts max_iter without reaching a fixpoint."""
 
 
-def _edge_sig(e: DataFrame) -> tuple[int, int]:
-    """(count, order-insensitive hash) of the edge set in one job. The hash
-    sum accumulates in decimal(38,0) — ANSI mode throws on bigint overflow."""
-    row = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    return row.n, int(row.h)
+def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Exact order-insensitive equality of two DISTINCT edge frames in one
+    job: symmetric difference is empty ⇔ the sets are equal. Both inputs
+    are localCheckpoint'ed by the caller, so the double scan is cheap."""
+    return a.exceptAll(b).union(b.exceptAll(a)).isEmpty()
 
 
 def connected_components(
@@ -68,9 +65,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sig = _edge_sig(e)
-    if sig[0] == 0:
+    if e.isEmpty():
         return e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+    prev = e
 
     for _ in range(max_iter):
         # -- large-star: for each u, attach strictly-larger neighbors to the
@@ -102,10 +99,9 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        new_sig = _edge_sig(e)
-        if new_sig == sig:
+        if _edge_sets_equal(e, prev):
             break
-        sig = new_sig
+        prev = e
     else:
         raise ConvergenceError(
             f"connected_components did not converge in {max_iter} rounds"

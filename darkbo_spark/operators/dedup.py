@@ -10,9 +10,18 @@
 * token_jaccard_pairs — exact n-gram/token Jaccard for oracle-sized inputs
   (the verification twin of the LSH path).
 
-All hashing is xxhash64-derived (JVM-native, no Python); MinHash
-permutations are (aᵢ·h + bᵢ) mod p with constants from a seeded generator —
-deterministic across runs and parallelism.
+Hashing comes in two modes (`hash_mode` on every near-dup entry point):
+
+* "fast" (default) — xxhash64, JVM-native, the production path.
+* "portable" — the low 60 bits of md5 (`conv(substr(md5(s),1,15),16,10)`),
+  expressible IDENTICALLY in DuckDB (`CAST('0x'||substr(md5(s),1,15) AS
+  BIGINT)`), so the whole banding pipeline can be oracled end-to-end by
+  the driver's DuckDB gate. Same algorithm, same banding, same caps —
+  only the hash primitive differs. 60 bits (not 64) keeps every value
+  non-negative in BOTH engines, sidestepping signed-shift divergence.
+
+MinHash permutations are (aᵢ·h + bᵢ) mod p with constants from a seeded
+generator — deterministic across runs and parallelism.
 
 Scale notes: LSH bucket self-join is the scalable near-dup plan — candidate
 pairs only within equal (band, bucket) keys; exact Jaccard on candidates
@@ -61,7 +70,24 @@ def _perm_constants(k: int, seed: int = 42) -> List[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(k)]
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def portable_hash60(col: F.Column) -> F.Column:
+    """60-bit non-negative hash expressible bit-identically in DuckDB:
+    first 15 hex chars of md5, parsed base-16. Spark `conv` and DuckDB
+    `CAST('0x'||… AS BIGINT)` agree exactly (verified value-for-value)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _token_hash(col: F.Column, hash_mode: str) -> F.Column:
+    if hash_mode == "fast":
+        return F.xxhash64(col)
+    if hash_mode == "portable":
+        return portable_hash60(col)
+    raise ValueError(f"hash_mode must be 'fast' or 'portable', got {hash_mode!r}")
+
+
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, hash_mode: str = "fast"
+) -> DataFrame:
     """Word n-gram shingles as (id, shingle_hash). Native: split → slide via
     transform over an index sequence — no UDF."""
     toks = F.split(F.lower(F.col(text_col)), " +")
@@ -72,14 +98,20 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)))
+    ).withColumn("h", F.pmod(_token_hash(F.col("shingle"), hash_mode), F.lit(_MERSENNE_P)))
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 16, n: int = 3, seed: int = 42
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[k]) — min over permuted shingle hashes."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles(df, text_col, id_col, n, hash_mode)
     consts = _perm_constants(k, seed)
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"m{i}")
@@ -94,18 +126,22 @@ def _capped_bucket_pairs(
     bucket_keys: list[str],
     carry_cols: list[str],
     max_bucket: int,
+    persist: bool = True,
 ) -> DataFrame:
     """Shared skeleton of every banded-LSH candidate join: drop degenerate
     buckets (> max_bucket — boilerplate skew guard), self-join within equal
     bucket keys, emit (id_a, id_b [, carry_a/carry_b...]) deduped.
 
-    `banded` (doc_id, *bucket_keys, *carry_cols) is PERSISTED here — it
-    feeds three differently-pruned branches (sizes agg, both join sides),
-    which otherwise each recompute the signature pipeline (the
-    ReuseExchange-defeat documented at tfidf._term_freq)."""
+    `banded` (doc_id, *bucket_keys, *carry_cols) is PERSISTED by default —
+    it feeds three differently-pruned branches (sizes agg, both join
+    sides), which otherwise each recompute the signature pipeline (the
+    ReuseExchange-defeat documented at tfidf._term_freq). Pass
+    persist=False for throwaway corpora (tests, one-shot checks) so cache
+    entries don't accumulate across distinct inputs."""
     from pyspark import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = banded.groupBy(*bucket_keys).agg(F.count("*").alias("sz"))
     capped = banded.join(
         sizes.filter(F.col("sz") <= max_bucket).drop("sz"), bucket_keys
@@ -129,47 +165,67 @@ def minhash_lsh_pairs(
     n: int = 3,
     seed: int = 42,
     max_bucket: int = 500,
+    hash_mode: str = "fast",
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded LSH over MinHash.
-    Buckets larger than `max_bucket` are dropped (boilerplate skew guard)."""
+    Buckets larger than `max_bucket` are dropped (boilerplate skew guard).
+
+    hash_mode="fast" buckets each band through xxhash64 (fixed-width bigint
+    keys — the production shape); "portable" uses the band's raw signature
+    values joined as a string, so DuckDB replays the IDENTICAL pipeline
+    (no xxhash64 there) and the driver can hash-verify the output."""
     assert k % bands == 0
     rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n, seed)
+    sig = minhash_signatures(df, text_col, id_col, k, n, seed, hash_mode)
+
+    def _bucket(b: int) -> F.Column:
+        elems = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_mode == "fast":
+            return F.xxhash64(*elems)  # bigint bucket key — cheapest shuffle
+        return F.concat_ws(",", *[e.cast("string") for e in elems])
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                "bucket"
-            ),
-        )
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    return _capped_bucket_pairs(banded, ["band", "bucket"], [], max_bucket)
+    return _capped_bucket_pairs(banded, ["band", "bucket"], [], max_bucket, persist)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash: per token hash, each bit votes ±1 weighted by tf; the
-    sign vector re-packs to a bigint. Native bit math only."""
+def _simhash_nbits(hash_mode: str) -> int:
+    # portable md5-60 hashes only carry 60 meaningful bits; using exactly
+    # those keeps the packed signature non-negative (no signed-shift
+    # divergence between Spark and DuckDB)
+    return 64 if hash_mode == "fast" else 60
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, hash_mode: str = "fast"
+) -> DataFrame:
+    """64-bit (60-bit portable) SimHash: per token hash, each bit votes ±1
+    weighted by tf; the sign vector re-packs to a bigint. Native bit math
+    only."""
+    nbits = _simhash_nbits(hash_mode)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("token"),
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", F.xxhash64("token"))
+    h = tf.withColumn("h", _token_hash(F.col("token"), hash_mode))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
                 -F.col("tf")
             )
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     agg = h.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("bigint")
-    for i in range(64):
+    for i in range(nbits):
         sim = sim + F.when(
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
         ).otherwise(F.lit(0).cast("bigint"))
@@ -182,18 +238,21 @@ def simhash_neardup_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int = 500,
+    hash_mode: str = "fast",
+    persist: bool = True,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) ≤ k.
 
-    Scale shape = pigeonhole banding: split the 64-bit signature into
+    Scale shape = pigeonhole banding: split the signature into
     (max_hamming+1) bands — any pair within hamming k agrees EXACTLY on at
     least one band — bucket-join on (band, band_bits), then verify true
     hamming with native bit_count(xor). One shuffle on the band key, exact
     verification only within buckets, degenerate buckets capped like the
     MinHash path."""
+    nbits = _simhash_nbits(hash_mode)
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    sig = simhash(df, text_col, id_col)
+    width = nbits // n_bands
+    sig = simhash(df, text_col, id_col, hash_mode)
     bands = F.array(
         *[
             F.struct(
@@ -211,7 +270,7 @@ def simhash_neardup_pairs(
     banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
     )
-    cand = _capped_bucket_pairs(banded, ["band", "bits"], ["simhash"], max_bucket)
+    cand = _capped_bucket_pairs(banded, ["band", "bits"], ["simhash"], max_bucket, persist)
     return (
         cand.select(
             "id_a",

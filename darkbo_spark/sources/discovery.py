@@ -23,8 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from darkbo_spark.sources.readers import read_faq_json
-
 # marker → inferred name, checked in order (reference list, prebuild_kb.py:92-99)
 NAME_MARKERS: list[tuple[str, list[str]]] = [
     ("ACLU", ["ACLU", "AMERICAN CIVIL LIBERTIES"]),
@@ -79,13 +77,26 @@ def discover_projects(
     base = spark.createDataFrame(
         pd.DataFrame({"project_id": sorted(projects)})
     )
+    # The ordinal must be the IN-FILE row position (the reference sniffs the
+    # first 3 FAQs in file order). monotonically_increasing_id() only matches
+    # file order while the read is single-partition — its high bits carry the
+    # partition id — so instead read each FAQ file whole and posexplode the
+    # JSON array: `pos` IS the file ordinal, independent of partitioning.
     faq_parts = []
     for pid, paths in sorted(projects.items()):
         if paths["faq"]:
+            arr = F.from_json(
+                F.col("value"), "array<struct<question:string,answer:string>>"
+            )
             faq_parts.append(
-                read_faq_json(spark, paths["faq"], pid)
-                .withColumn("_ord", F.monotonically_increasing_id())
-                .select("project_id", "question", "answer", "_ord")
+                spark.read.text(paths["faq"], wholetext=True)
+                .select(F.posexplode(arr).alias("_ord", "_row"))
+                .select(
+                    F.lit(pid).alias("project_id"),
+                    F.col("_row.question").alias("question"),
+                    F.col("_row.answer").alias("answer"),
+                    "_ord",
+                )
             )
     if not faq_parts:
         return base.select("project_id", F.col("project_id").alias("name"))
