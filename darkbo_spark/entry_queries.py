@@ -492,6 +492,44 @@ def parsed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10)
 
 
+@_q("parsed_search_stored", _PARSED_ORACLE)
+def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 end-to-end: the BM25 postings are MATERIALIZED once as a
+    published SnapshotTable version (the production claim in docs/SCALE.md —
+    build the sparse index once, serve every query from the stored table),
+    then the same raw-query search runs against the STORED postings. Same
+    oracle as the inline form — the driver hash proves store+serve loses
+    nothing. Re-runs over the same corpus hit the fingerprint skip."""
+    import hashlib
+    import os
+    import tempfile
+
+    from darkbo_spark.operators.queryparse import search_text
+    from darkbo_spark.operators.tfidf import build_bm25_postings
+    from darkbo_spark.storage.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), "darkbo_spark_indexes")
+    table = SnapshotTable(base, "bm25_postings")
+    # corpus fingerprint: the sf_dir identity + its documents parquet mtimes
+    # (static during a driver run; a regenerated corpus republishes)
+    doc_path = f"{sf_dir}/documents.parquet"
+    mtimes = ""
+    if os.path.isdir(doc_path):
+        mtimes = ",".join(
+            str(os.path.getmtime(os.path.join(doc_path, f)))
+            for f in sorted(os.listdir(doc_path))
+        )
+    elif os.path.exists(doc_path):
+        mtimes = str(os.path.getmtime(doc_path))
+    fp = hashlib.md5(f"{sf_dir}|{mtimes}".encode()).hexdigest()
+    if table.current_fingerprint() != fp:
+        table.publish(build_bm25_postings(docs), fp, partition_by=None)
+        table.expire(retain_last=3)
+    stored = table.read(spark)
+    return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=stored)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval (the reference's core query: dense ∪ sparse ∪ basic with
 # dense-first precedence dedup + top-k)
@@ -741,6 +779,22 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ta.token_count(F.col("text")).alias("ws_tokens"),
         ta.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@_q("bpe_real_token_counts")  # rows-only: merge-loop not SQL-expressible;
+def bpe_real_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merge-table BPE counts (Arrow UDF) next to the native regex
+    pre-token count. Invariant carried in the output and asserted in
+    pytest: pre_tokens ≤ bpe_tokens_real ≤ length(text) — every pre-token
+    encodes to between 1 and len(word) subwords."""
+    from darkbo_spark.functions.bpe import bpe_token_count_udf
+
+    count = bpe_token_count_udf()
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ta.bpe_token_count(F.col("text")).alias("pre_tokens"),
+        count(F.col("text")).alias("bpe_tokens_real"),
     )
 
 

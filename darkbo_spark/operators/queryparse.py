@@ -78,11 +78,18 @@ def search_text(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 10,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end sparse search from a RAW query string: parse → AND-match →
-    BM25 rank → top-k. Returns (doc_id, score)."""
+    BM25 rank → top-k. Returns (doc_id, score).
+
+    `postings` may be a pre-materialized BM25 postings table (the S13 sparse
+    index published as a SnapshotTable) — the production serving path, where
+    the index is built once and every query reads the stored table. When
+    None, postings are built inline from `docs` (self-contained form)."""
     pq = parse_query(query)
-    postings = build_bm25_postings(docs, text_col, id_col)
+    if postings is None:
+        postings = build_bm25_postings(docs, text_col, id_col)
     if pq.terms:
         spark = docs.sparkSession
         import pandas as pd
@@ -98,17 +105,22 @@ def search_text(
         )
     else:
         matched = docs.select(F.col(id_col).alias("doc_id"))
-    for ph in pq.phrases:
-        pat = phrase_regex(ph)
-        if pat is None:
-            continue
+    patterns = [p for p in (phrase_regex(ph) for ph in pq.phrases) if p is not None]
+    if patterns:
         # positional phrase semantics (Whoosh analyzed-phrase): the phrase
         # WORDS in order, separated by non-word chars, on word boundaries —
-        # raw substring containment would match 'profi[table scan]dal'
-        ph_docs = docs.filter(F.lower(F.col(text_col)).rlike(pat)).select(
-            F.col(id_col).alias("doc_id")
-        )
-        matched = matched.join(ph_docs, "doc_id", "left_semi")
+        # raw substring containment would match 'profi[table scan]dal'.
+        # CANDIDATES-FIRST: semi-join docs down to the AND-matched set
+        # before running any regex — the AND match prunes hard, so the
+        # rlike scans a handful of rows instead of the full corpus, and all
+        # phrases verify in ONE narrow pass (not one corpus scan per phrase)
+        cand_docs = docs.select(
+            F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lt")
+        ).join(matched, "doc_id", "left_semi")
+        cond = F.col("_lt").rlike(patterns[0])
+        for pat in patterns[1:]:
+            cond = cond & F.col("_lt").rlike(pat)
+        matched = cand_docs.filter(cond).select("doc_id")
     candidates = postings.join(matched, "doc_id", "left_semi")
     # ranking terms include the analyzed words of phrases (Whoosh scores
     # phrase queries by their word weights too)
