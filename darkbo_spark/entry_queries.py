@@ -1692,6 +1692,23 @@ def fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_candidates(surfaces, entity_dictionary_df(spark), min_jaccard=0.3)
 
 
+@_q("embed_link_candidates")  # rows-only: generator agreement in test_link.py
+def embed_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M3 embedding leg of fuzzy candidate generation: LSH-bucketed
+    cosine over A7 alias embeddings (kg/link.embed_candidates)."""
+    import pandas as pd
+
+    from darkbo_spark.kg.link import embed_candidates
+    from darkbo_spark.kg.pages import entity_dictionary_df
+
+    surfaces = spark.createDataFrame(
+        pd.DataFrame(
+            {"surface": ["the acme systems", "stellar labs", "no such entity here"]}
+        )
+    )
+    return embed_candidates(surfaces, entity_dictionary_df(spark), min_cosine=0.7)
+
+
 # the same fuzzy-candidate operator, oracled: the dictionary is the `part`
 # table (alias = p_name, eid = p_partkey) so DuckDB can replay it exactly
 _FUZZY_SURFACES = ["the small bolt", "red widget deluxe", "warm gear box"]

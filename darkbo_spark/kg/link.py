@@ -136,3 +136,106 @@ def fuzzy_candidates(
         .filter(F.col("_rk") == 1)
         .select("s_norm", "eid", "alias_norm", "jaccard")
     )
+
+
+def embed_candidates(
+    unmatched: DataFrame,
+    entity_dict: DataFrame,
+    surface_col: str = "surface",
+    min_cosine: float = 0.7,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-based candidate generation (SURVEY §7.2 M3's second leg):
+    normalized surfaces and dictionary aliases are embedded with the A7
+    encoder (functions/embed.py — deterministic hash encoder here, real
+    sentence-transformer at the same seam in production), sign-LSH
+    bucketed, and cosine-scored ONLY within colliding buckets; argmax per
+    surface above `min_cosine` wins (eid, then alias as tie-breaks).
+
+    Same output shape as `fuzzy_candidates` — (s_norm, eid, alias_norm,
+    score col) — so the two generators are drop-in alternates behind
+    `apply_fuzzy_fallback(method=...)`. Scale shape: one narrow Arrow
+    pass per side to embed, one shuffle on the LSH bucket — never an
+    all-pairs surface × alias product."""
+    from darkbo_spark.functions.embed import EMBED_DIM, embed_udf
+    from darkbo_spark.operators.similarity import (
+        _sign_bucket,
+        cosine,
+        l2_norm,
+        random_planes,
+    )
+
+    planes = random_planes(EMBED_DIM, n_planes, seed)
+    # the encoder emits unit vectors — except for empty/sign-cancelling
+    # surfaces, which come back all-zero and would divide-by-zero in the
+    # cosine under ANSI; a zero vector matches nothing, so drop it early
+    surf = (
+        unmatched.select(_norm(F.col(surface_col)).alias("s_norm"))
+        .distinct()
+        .withColumn(
+            "s_vec", F.transform(embed_udf(F.col("s_norm")), lambda x: x.cast("double"))
+        )
+        .filter(l2_norm(F.col("s_vec")) > 0)
+        .withColumn("_bucket", _sign_bucket(F.col("s_vec"), planes))
+    )
+    dic = (
+        entity_dict.select(_norm(F.col("alias")).alias("alias_norm"), "eid")
+        .distinct()
+        .withColumn(
+            "d_vec",
+            F.transform(embed_udf(F.col("alias_norm")), lambda x: x.cast("double")),
+        )
+        .filter(l2_norm(F.col("d_vec")) > 0)
+        .withColumn("_bucket", _sign_bucket(F.col("d_vec"), planes))
+    )
+    scored = (
+        surf.join(dic, "_bucket")
+        .withColumn("cosine", F.round(cosine(F.col("s_vec"), F.col("d_vec")), 6))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_norm").orderBy(
+        F.desc("cosine"), F.asc("eid"), F.asc("alias_norm")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("s_norm", "eid", "alias_norm", "cosine")
+    )
+
+
+def apply_fuzzy_fallback(
+    linked: DataFrame,
+    entity_dict: DataFrame,
+    method: str = "jaccard",
+    **kwargs,
+) -> DataFrame:
+    """Second-chance linking: fill null subj_eid/obj_eid from a fuzzy
+    candidate generator — "jaccard" (token-overlap postings join) or
+    "embed" (LSH over alias embeddings). Candidates are computed ONCE over
+    the union of both sides' unmatched surfaces; already-linked rows are
+    never touched. Candidate maps are bounded by the distinct unmatched
+    surfaces that clear the threshold, so the join back is left to AQE
+    (broadcast when small, shuffle otherwise)."""
+    gen = {"jaccard": fuzzy_candidates, "embed": embed_candidates}.get(method)
+    if gen is None:
+        raise ValueError(f"unknown fuzzy fallback method: {method}")
+    unmatched = (
+        linked.filter(F.col("subj_eid").isNull()).select(F.col("subj").alias("surface"))
+        .unionByName(
+            linked.filter(F.col("obj_eid").isNull()).select(F.col("obj").alias("surface"))
+        )
+    )
+    cmap = gen(unmatched, entity_dict, "surface", **kwargs).select(
+        "s_norm", F.col("eid").alias("_fb_eid")
+    )
+    for surface_col, eid_col in (("subj", "subj_eid"), ("obj", "obj_eid")):
+        key = _norm(F.col(surface_col))
+        linked = (
+            linked.join(cmap, key == cmap["s_norm"], "left")
+            .withColumn(eid_col, F.coalesce(F.col(eid_col), F.col("_fb_eid")))
+            .drop("s_norm", "_fb_eid")
+        )
+    return linked

@@ -72,8 +72,14 @@ def run_pipeline(
     write_salt: int = 8,
     input_fingerprint: str | None = None,
     cc_mode: str = "auto",
+    fuzzy_fallback: str | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; every stage is fingerprint-gated.
+
+    `fuzzy_fallback`: None (exact alias linking only, the default),
+    "jaccard" or "embed" — second-chance linking for surfaces that miss
+    the exact join (kg/link.apply_fuzzy_fallback). Part of the kg_triples
+    stage fingerprint, so toggling it republishes.
 
     The whole run holds the single-writer BuildLock (I2): concurrent
     publishers would otherwise race on the same v{seq} dir and expire()
@@ -90,6 +96,7 @@ def run_pipeline(
             spark, out_dir, pages, n_pages, seed, link_strategy, n_buckets,
             write_salt, input_fingerprint, cc_mode, res, run_t0,
             heartbeat=lambda: lock.heartbeat(lock_owner),
+            fuzzy_fallback=fuzzy_fallback,
         )
     finally:
         lock.release(lock_owner)
@@ -109,6 +116,7 @@ def _run_locked(
     res: PipelineResult,
     run_t0: float,
     heartbeat=lambda: None,
+    fuzzy_fallback: str | None = None,
 ) -> PipelineResult:
     if pages is None:
         # html is omitted: the extract stage reads `text` only, and a real
@@ -240,6 +248,10 @@ def _run_locked(
         linked = link_entities(
             triples_tbl.read(spark), resolved_dict, strategy=link_strategy
         )
+        if fuzzy_fallback:
+            from darkbo_spark.kg.link import apply_fuzzy_fallback
+
+            linked = apply_fuzzy_fallback(linked, resolved_dict, method=fuzzy_fallback)
         return (
             bucketize_triples(linked, n_buckets=n_buckets, write_salt=write_salt),
             None,
@@ -248,7 +260,8 @@ def _run_locked(
     kg_tbl, fp_k = stage(
         "kg_triples",
         fp_t + fp_m,
-        f"linkc_{link_strategy}_buckets_{n_buckets}_salt_{write_salt}",
+        f"linkc_{link_strategy}_buckets_{n_buckets}_salt_{write_salt}"
+        f"_fb_{fuzzy_fallback or 'none'}",
         build_kg,
     )
 

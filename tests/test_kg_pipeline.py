@@ -215,3 +215,36 @@ def test_pipeline_build_lock_blocks_concurrent_run(spark, out_dir, result):
     # and the lock is released after a normal run (no leftover lock file)
     run_pipeline(spark, out_dir, n_pages=N_PAGES, seed=SEED)
     assert lock.owner() is None
+
+
+def test_pipeline_fuzzy_fallback_flag(spark):
+    """fuzzy_fallback='embed' through the full pipeline: the link rate on
+    unmatched surfaces must not get worse, exact links must be identical to
+    the no-fallback run, and the stage fingerprint must differ (toggling
+    the flag republishes)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        base = run_pipeline(spark, d1, n_pages=40, seed=7)
+        fb = run_pipeline(spark, d2, n_pages=40, seed=7, fuzzy_fallback="embed")
+        t_base = base.tables["kg_triples"].read(spark)
+        t_fb = fb.tables["kg_triples"].read(spark)
+        n_base = t_base.filter(F.col("subj_eid").isNull()).count()
+        n_fb = t_fb.filter(F.col("subj_eid").isNull()).count()
+        assert n_fb <= n_base
+        # exact links unchanged: every (triple_id, subj_eid) pair that the
+        # base run linked appears identically in the fallback run
+        exact = {
+            (r.triple_id, r.subj_eid)
+            for r in t_base.filter(F.col("subj_eid").isNotNull()).collect()
+        }
+        with_fb = {
+            (r.triple_id, r.subj_eid)
+            for r in t_fb.filter(F.col("subj_eid").isNotNull()).collect()
+        }
+        assert exact <= with_fb
+        fp1 = base.tables["kg_triples"].current_fingerprint()
+        fp2 = fb.tables["kg_triples"].current_fingerprint()
+        assert fp1 != fp2

@@ -3,7 +3,12 @@
 import pandas as pd
 import pyspark.sql.functions as F
 
-from darkbo_spark.kg.link import fuzzy_candidates
+from darkbo_spark.kg.link import (
+    apply_fuzzy_fallback,
+    embed_candidates,
+    fuzzy_candidates,
+    link_entities,
+)
 from darkbo_spark.kg.pages import entity_dictionary_df
 from darkbo_spark.operators.merge import split_created_updated, upsert
 from darkbo_spark.reference_impl import uuid5_id
@@ -23,6 +28,66 @@ def test_fuzzy_threshold_filters(spark):
     d = entity_dictionary_df(spark)
     surfaces = spark.createDataFrame(pd.DataFrame({"surface": ["utterly unrelated words"]}))
     assert fuzzy_candidates(surfaces, d, min_jaccard=0.5).count() == 0
+
+
+def test_embed_candidates_exact_and_threshold(spark):
+    d = entity_dictionary_df(spark)
+    # exact normalized duplicates embed to the IDENTICAL vector → cosine 1.0
+    surfaces = spark.createDataFrame(
+        pd.DataFrame({"surface": ["The Acme Systems", "utterly unrelated words"]})
+    )
+    got = {r.s_norm: (r.eid, r.cosine) for r in embed_candidates(surfaces, d).collect()}
+    assert "acme systems" in got
+    eid, cos = got["acme systems"]
+    assert eid == uuid5_id("entity", "Acme Systems")
+    assert cos == 1.0
+    # the unrelated surface must not clear a high threshold
+    assert "utterly unrelated words" not in {
+        r.s_norm
+        for r in embed_candidates(surfaces, d, min_cosine=0.95).collect()
+    }
+
+
+def _linked_fixture(spark):
+    """Triples whose subj misses the exact alias join but is fuzzily
+    linkable, next to one exactly-linkable row."""
+    triples = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u2"],
+                "sent_idx": [0, 0],
+                "subj": ["Acme Systems", "Acme Systems Incorporated"],
+                "pred": ["founded_in", "founded_in"],
+                "obj": ["1999", "1999"],
+                "triple_id": ["t1", "t2"],
+            }
+        )
+    )
+    d = entity_dictionary_df(spark).select("alias", "eid")
+    return link_entities(triples, d), d
+
+
+def test_fallback_improves_link_rate_and_generators_agree(spark):
+    linked, d = _linked_fixture(spark)
+    base_null = linked.filter(F.col("subj_eid").isNull()).count()
+    assert base_null == 1  # the 'Incorporated' surface misses the exact join
+
+    jac = apply_fuzzy_fallback(linked, d, method="jaccard", min_jaccard=0.5)
+    emb = apply_fuzzy_fallback(linked, d, method="embed", min_cosine=0.7)
+    jac_null = jac.filter(F.col("subj_eid").isNull()).count()
+    emb_null = emb.filter(F.col("subj_eid").isNull()).count()
+    assert jac_null < base_null and emb_null < base_null
+
+    # where BOTH generators produce a link for the same surface, the linked
+    # eid must be identical — the drop-in-alternates contract
+    j = {r.triple_id: r.subj_eid for r in jac.collect() if r.subj_eid}
+    e = {r.triple_id: r.subj_eid for r in emb.collect() if r.subj_eid}
+    for tid in set(j) & set(e):
+        assert j[tid] == e[tid]
+    # already-exact rows are untouched by either fallback
+    exact = {r.triple_id: r.subj_eid for r in linked.collect() if r.subj_eid}
+    for tid, eid in exact.items():
+        assert j[tid] == eid and e[tid] == eid
 
 
 def test_upsert_semantics(spark):
