@@ -55,6 +55,12 @@ def _link_side(
     if strategy == "broadcast":
         d = F.broadcast(dict_norm.withColumnRenamed("eid", out_col))
         return triples.join(d, key == d["alias_norm"], "left").drop("alias_norm")
+    if strategy == "shuffle":
+        # plain (unsalted) shuffle join — the baseline the salted strategy is
+        # benchmarked against (scripts/bench_link_skew.py); a Zipf head alias
+        # lands on ONE reducer here
+        d = dict_norm.withColumnRenamed("eid", out_col)
+        return triples.join(d, key == d["alias_norm"], "left").drop("alias_norm")
     if strategy == "salted":
         salted_big = triples.withColumn(
             "_salt", F.pmod(F.xxhash64("triple_id", F.lit(surface_col)), F.lit(salt_buckets))

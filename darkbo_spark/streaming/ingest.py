@@ -115,6 +115,86 @@ def dedup_stream(
     return events.dropDuplicates(keys)
 
 
+def stream_asof_candidates(
+    spark: SparkSession,
+    events_path: str,
+    orders_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    horizon: str = "30 days",
+    watermark: str = "1 hour",
+):
+    """Watermarked STREAM-STREAM interval join — the streaming leg of the
+    as-of twin (batch form: operators/asof.as_of_join, driver-oracled as
+    asof_events_orders).
+
+    Structured Streaming cannot express "latest right row ≤ ts" in one
+    operator, but the canonical decomposition is:
+
+      1. stream-stream inner join on the key with the time-range predicate
+         o_ts ∈ [ts - horizon, ts] — HERE. Watermarks on BOTH sides bound
+         the join state: each side's rows are dropped from state once the
+         other side's watermark passes ts + horizon, so state is
+         O(arrival-rate × (watermark + horizon)), never the full history.
+      2. the as-of reduction (argmax o_ts per event, same tie-break as
+         as_of_join: latest date, then largest key) over the appended sink
+         — `asof_reduce`, a per-event-id aggregate any batch reader runs.
+
+    The parquet sink + checkpoint give exactly-once per micro-batch, so a
+    kill-restart mid-input appends no duplicates (asserted in
+    test_streaming.py)."""
+    ev = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+        .withWatermark("ts", watermark)
+        .alias("e")
+    )
+    od = (
+        spark.readStream.schema(
+            "user_id long, o_orderdate timestamp, o_orderkey long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(orders_path)
+        .withWatermark("o_orderdate", watermark)
+        .alias("o")
+    )
+    cond = F.expr(
+        "e.user_id = o.user_id"
+        " AND o.o_orderdate <= e.ts"
+        f" AND o.o_orderdate >= e.ts - INTERVAL {horizon}"
+    )
+    pairs = ev.join(od, cond, "inner").select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.ts").alias("ts"),
+        F.col("o.o_orderdate").alias("o_orderdate"),
+        F.col("o.o_orderkey").alias("o_orderkey"),
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def asof_reduce(pairs: DataFrame) -> DataFrame:
+    """(event_id → latest order at or before ts): argmax (o_orderdate,
+    o_orderkey) per event — the identical tie-break to as_of_join."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("event_id", "user_id", F.col("o_orderkey").alias("asof_o_orderkey"))
+    )
+
+
 _SESSION_OUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -23,7 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 CHECKS = {
     # note: with AQE the pre-execution formatted plan carries no codegen ids;
     # the static properties below are the load-bearing ones (pushdown, map-
-    # side partial aggregation before the exchange, broadcast joins, top-k)
+    # side partial aggregation before the exchange, broadcast joins, top-k).
+    # A leading "!" means the plan must NOT contain the marker (e.g. no
+    # cartesian product anywhere in a bucketed candidate join).
     "q1_pricing_summary": ["PushedFilters", "HashAggregate"],
     "q3_top_unshipped": ["BroadcastHashJoin", "PushedFilters"],
     "region_rollup": ["BroadcastHashJoin"],
@@ -35,6 +37,30 @@ CHECKS = {
     "parsed_search_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "dense_topk": ["BroadcastNestedLoopJoin"],
     "customers_without_recent_orders": ["BroadcastHashJoin", "LeftAnti"],
+    # --- ANN family: candidates via ONE shuffle on the bucket/cell key,
+    # never a cross product of corpus × queries ------------------------------
+    "ann_multiprobe_topk": [
+        "hashpartitioning", "bucket", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+    ],
+    "ann_ivf_topk": [
+        "hashpartitioning", "cell", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+    ],
+    # --- banded near-dup: bucket self-join with map-side partial aggregation
+    # for the size cap; no cross product --------------------------------------
+    "minhash_lsh_pairs": ["HashAggregate", "hashpartitioning", "!CartesianProduct"],
+    "simhash_neardup_pairs": ["HashAggregate", "hashpartitioning", "!CartesianProduct"],
+    # --- multi-set aggregates lower to ONE Expand + hash aggregate, not one
+    # scan per grouping set ----------------------------------------------------
+    "grouping_sets_events": ["Expand", "HashAggregate"],
+    "cube_event_stats": ["Expand", "HashAggregate"],
+    "pivot_event_counts": ["HashAggregate"],
+    # --- sketches: the 100 TB forms — partial-aggregable HLL / quantile
+    # sketches inside a standard two-phase HashAggregate/SortAggregate --------
+    "user_counts_sketch": ["approx_count_distinct"],
+    "value_percentiles_sketch": ["approx_percentile"],
+    # --- stored-index serving path: broadcast query-term join over the
+    # published postings scan --------------------------------------------------
+    "parsed_search_stored": ["BroadcastHashJoin", "TakeOrderedAndProject"],
 }
 
 
@@ -53,7 +79,11 @@ def main() -> int:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        missing = [w for w in want if w not in plan]
+        missing = [
+            w
+            for w in want
+            if ((w[1:] in plan) if w.startswith("!") else (w not in plan))
+        ]
         status = "OK" if not missing else f"MISSING {missing}"
         print(f"{name}: {status}")
         if missing:

@@ -192,3 +192,65 @@ def test_session_fn_late_event_cross_batch():
     assert out[0].session_start.dt.minute.tolist() == [0]
     s, e, n = st2.get
     assert n == 1  # the 2:00 session stays open, uncorrupted
+
+
+def test_stream_asof_join_restart(spark, tmp_path):
+    """Watermarked stream-stream interval join + as-of reduction equals the
+    batch as_of_join, across a kill-restart in the middle of the input
+    (stage-2 events arrive only after the first query terminated; the
+    restarted query resumes from the checkpoint with no loss and no dups)."""
+    from darkbo_spark.operators.asof import as_of_join
+    from darkbo_spark.streaming.ingest import asof_reduce, stream_asof_candidates
+
+    base = dt.datetime(2024, 1, 15)
+    ev_rows = [
+        (100 * u + d, u, base + dt.timedelta(days=d))
+        for d in (7, 12)
+        for u in (1, 2, 3)
+    ]
+    od_rows = [
+        (u, base + dt.timedelta(days=d), 10 * u + d)
+        for u in (1, 2, 3)
+        for d in (0, 5, 10)
+    ]
+    ev_pdf = pd.DataFrame(ev_rows, columns=["event_id", "user_id", "ts"])
+    od_pdf = pd.DataFrame(od_rows, columns=["user_id", "o_orderdate", "o_orderkey"])
+    ev_dir = str(tmp_path / "asof_ev")
+    od_dir = str(tmp_path / "asof_od")
+    outp = str(tmp_path / "asof_pairs")
+    ckpt = str(tmp_path / "asof_ckpt")
+
+    # stage 1: all orders + the day-7 events only
+    spark.createDataFrame(od_pdf).coalesce(1).write.mode("append").parquet(od_dir)
+    spark.createDataFrame(ev_pdf.iloc[:3]).coalesce(1).write.mode("append").parquet(ev_dir)
+    q = stream_asof_candidates(spark, ev_dir, od_dir, outp, ckpt, horizon="30 days")
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(outp).count()
+    assert n1 > 0  # stage-1 matches emitted before the "kill"
+
+    # the query is dead; stage-2 (later event-time) files land; restart from
+    # the SAME checkpoint — only the new files are processed
+    spark.createDataFrame(ev_pdf.iloc[3:]).coalesce(1).write.mode("append").parquet(ev_dir)
+    q2 = stream_asof_candidates(spark, ev_dir, od_dir, outp, ckpt, horizon="30 days")
+    q2.awaitTermination(120)
+
+    pairs = spark.read.parquet(outp)
+    # exactly-once across the restart: no duplicated (event, order) pairs
+    assert pairs.count() == pairs.dropDuplicates(["event_id", "o_orderkey"]).count()
+
+    got = {
+        (r.event_id, r.user_id, r.asof_o_orderkey)
+        for r in asof_reduce(pairs).collect()
+    }
+    # batch twin (all orders are within the horizon, so the unbounded batch
+    # as_of_join and the horizon-bounded streaming form agree exactly)
+    ev_b = spark.createDataFrame(ev_pdf)
+    od_b = spark.createDataFrame(od_pdf)
+    exp = {
+        (r.event_id, r.user_id, r.asof_o_orderkey)
+        for r in as_of_join(
+            ev_b, od_b, key="user_id", left_ts="ts", right_ts="o_orderdate",
+            right_payload="o_orderkey", how="inner",
+        ).select("event_id", "user_id", "asof_o_orderkey").collect()
+    }
+    assert got == exp and len(got) == 6
