@@ -36,11 +36,15 @@ HEADLINE = [
     "tfidf_topk",
     "bm25_topk",
     "parsed_search_topk",
+    "parsed_search_stored",
     "dense_topk",
     "ann_multiprobe_topk",
     "ann_ivf_topk",
+    "ann_ivf_full_probe",
+    "ann_multiprobe_exact",
     "cosine_neardup_pairs",
     "bpe_token_counts",
+    "bpe_real_token_counts",
     "q5_local_supplier_volume",
     "cube_event_stats",
     "grouping_sets_events",
@@ -48,8 +52,10 @@ HEADLINE = [
     "events_in_first_window",
     "token_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_x",
     "simhash_docs",
     "simhash_neardup_pairs",
+    "simhash_neardup_pairs_x",
     "dedup_first_wins",
     "running_totals",
     "sessionize_events",
