@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_multiprobe_topk",
     "ann_ivf_topk",
     "ann_ivf_full_probe",
+    "ann_ivf_stored",
     "ann_multiprobe_exact",
     "cosine_neardup_pairs",
     "bpe_token_counts",

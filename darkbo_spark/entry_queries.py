@@ -492,6 +492,25 @@ def parsed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10)
 
 
+def _corpus_fp(sf_dir: str, table: str) -> str:
+    """Corpus fingerprint for stored-index skip: sf_dir identity + the
+    table's parquet mtimes (static during a driver run; a regenerated
+    corpus republishes)."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    mtimes = ""
+    if os.path.isdir(path):
+        mtimes = ",".join(
+            str(os.path.getmtime(os.path.join(path, f)))
+            for f in sorted(os.listdir(path))
+        )
+    elif os.path.exists(path):
+        mtimes = str(os.path.getmtime(path))
+    return hashlib.md5(f"{sf_dir}|{table}|{mtimes}".encode()).hexdigest()
+
+
 @_q("parsed_search_stored", _PARSED_ORACLE)
 def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 end-to-end: the BM25 postings are MATERIALIZED once as a
@@ -500,7 +519,6 @@ def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the same raw-query search runs against the STORED postings. Same
     oracle as the inline form — the driver hash proves store+serve loses
     nothing. Re-runs over the same corpus hit the fingerprint skip."""
-    import hashlib
     import os
     import tempfile
 
@@ -511,18 +529,7 @@ def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     base = os.path.join(tempfile.gettempdir(), "darkbo_spark_indexes")
     table = SnapshotTable(base, "bm25_postings")
-    # corpus fingerprint: the sf_dir identity + its documents parquet mtimes
-    # (static during a driver run; a regenerated corpus republishes)
-    doc_path = f"{sf_dir}/documents.parquet"
-    mtimes = ""
-    if os.path.isdir(doc_path):
-        mtimes = ",".join(
-            str(os.path.getmtime(os.path.join(doc_path, f)))
-            for f in sorted(os.listdir(doc_path))
-        )
-    elif os.path.exists(doc_path):
-        mtimes = str(os.path.getmtime(doc_path))
-    fp = hashlib.md5(f"{sf_dir}|{mtimes}".encode()).hexdigest()
+    fp = _corpus_fp(sf_dir, "documents")
     if table.current_fingerprint() != fp:
         table.publish(build_bm25_postings(docs), fp, partition_by=None)
         table.expire(retain_last=3)
@@ -957,6 +964,43 @@ def ann_multiprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_multi(
         emb, queries, dim=64, k=5, n_planes=1, n_tables=2, multiprobe=True
     ).select("qid", "doc_id", "score")
+
+
+@_q("ann_ivf_stored", _DENSE_MULTI_ORACLE)
+def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 end-to-end: the IVF index (doc_id, embedding, cell) is published
+    once as a SnapshotTable PARTITIONED BY cell, and the query serves from
+    the STORED table with a literal probe-cell filter — a cell-partitioned
+    store prunes partitions at the scan (PartitionFilters gated in
+    docs/PLANS.md). Run here at full probe so the result provably equals
+    brute force and the driver hash-verifies store+serve end to end; the
+    selective n_probe<cells form is equality-tested against the in-plan
+    ivf_topk in tests/test_similarity.py."""
+    import os
+    import tempfile
+
+    from darkbo_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_stored,
+        train_ivf_centroids,
+    )
+    from darkbo_spark.storage.snapshots import SnapshotTable
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    # deterministic quantizer: same seeded sample → same centroids at
+    # publish and query time (the production analog stores them in meta)
+    centroids = train_ivf_centroids(emb, dim=64, n_cells=16)
+    base = os.path.join(tempfile.gettempdir(), "darkbo_spark_indexes")
+    table = SnapshotTable(base, "ivf_index")
+    fp = _corpus_fp(sf_dir, "embeddings")
+    if table.current_fingerprint() != fp:
+        index, _ = build_ivf_index(emb, dim=64, n_cells=16, centroids=centroids)
+        table.publish(index, fp, partition_by=["cell"])
+        table.expire(retain_last=3)
+    stored = table.read(spark)
+    return ivf_topk_stored(stored, queries, centroids, k=5, n_probe=16).select(
+        "qid", "doc_id", "score"
+    )
 
 
 @_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest

@@ -221,6 +221,79 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """The IVF index as a publishable frame: (doc_id, embedding, cell).
+    Publish it `partition_by=["cell"]` (SnapshotTable / Iceberg hidden
+    partitioning) — the cell IS the partition key, so a probe-time literal
+    cell filter prunes whole partitions at the scan (PartitionFilters in
+    the plan, verified in docs/PLANS.md). Returns (index_df, centroids);
+    the centroids travel with the index (meta) since queries must rank
+    cells against the SAME quantizer the index was built with."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, vec_col, id_col, n_cells=n_cells, seed=seed
+        )
+    c_dots = _cell_dots(F.col(vec_col), centroids)
+    index = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("embedding"),
+        (F.array_position(c_dots, F.array_max(c_dots)) - 1).cast("int").alias("cell"),
+    )
+    return index, centroids
+
+
+def ivf_topk_stored(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k served from a STORED index (build_ivf_index published by
+    cell). The probe cells are resolved DRIVER-SIDE from the tiny query
+    frame using the IDENTICAL in-plan expression as ivf_topk (collected,
+    not re-derived — zero tie-break drift), then applied as a LITERAL
+    `cell IN (...)` filter so a cell-partitioned store prunes partitions
+    before any row is read. Query↔cell matching stays a join, the filter
+    is the scan-level prune."""
+    q_dots = _cell_dots(F.col(qvec_col), centroids)
+    idx_structs = F.transform(
+        q_dots, lambda d, i: F.struct(d.alias("d"), (-i).alias("ni"))
+    )
+    probe_cells = F.slice(F.reverse(F.array_sort(idx_structs)), 1, n_probe)
+    q = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).alias("_qvec"),
+            F.explode(probe_cells).alias("pc"),
+        )
+        .select("qid", "_qvec", (-F.col("pc.ni")).cast("int").alias("cell"))
+        # queries are few by contract (the brute-force/broadcast regime);
+        # localCheckpoint so the probe computation runs once, not once per
+        # reference below
+        .localCheckpoint(eager=True)
+    )
+    cells = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    pruned = index.filter(F.col("cell").isin(cells))
+    scored = pruned.join(q, "cell").select(
+        "qid",
+        "doc_id",
+        F.round(cosine(F.col("embedding"), F.col("_qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk_multi(
     corpus: DataFrame,
     queries: DataFrame,

@@ -58,9 +58,11 @@ CHECKS = {
     # sketches inside a standard two-phase HashAggregate/SortAggregate --------
     "user_counts_sketch": ["approx_count_distinct"],
     "value_percentiles_sketch": ["approx_percentile"],
-    # --- stored-index serving path: broadcast query-term join over the
-    # published postings scan --------------------------------------------------
+    # --- stored-index serving paths: broadcast query-term join over the
+    # published postings scan; literal probe-cell PARTITION pruning on the
+    # cell-partitioned IVF index scan ------------------------------------------
     "parsed_search_stored": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "ann_ivf_stored": ["PartitionFilters: [cell", "!CartesianProduct"],
 }
 
 

@@ -125,3 +125,53 @@ def test_ivf_centroids_deterministic(spark):
     a = train_ivf_centroids(df, dim=16, n_cells=6, seed=9)
     b = train_ivf_centroids(df, dim=16, n_cells=6, seed=9)
     assert a == b
+
+
+def test_ivf_stored_equals_inplan_and_prunes(spark, tmp_path):
+    """The stored-index IVF path (publish partitioned by cell, literal
+    probe-cell filter, serve from the store) returns EXACTLY the in-plan
+    ivf_topk result at the same n_probe, and the stored scan carries a
+    partition filter on cell (scan-level pruning, the 100 TB claim)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from darkbo_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_stored,
+        train_ivf_centroids,
+    )
+    from darkbo_spark.storage.snapshots import SnapshotTable
+
+    df, _ = _emb(spark, n=300)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    centroids = train_ivf_centroids(df, dim=16, n_cells=8, seed=42)
+    index, _ = build_ivf_index(df, dim=16, n_cells=8, centroids=centroids)
+    table = SnapshotTable(str(tmp_path), "ivf_index")
+    table.publish(index, "fp-test", partition_by=["cell"])
+    stored = table.read(spark)
+
+    got_df = ivf_topk_stored(stored, queries, centroids, k=5, n_probe=2)
+    got = {(r.qid, r.doc_id, r.score) for r in got_df.collect()}
+    want = {
+        (r.qid, r.doc_id, r.score)
+        for r in ivf_topk(
+            df, queries, dim=16, k=5, n_cells=8, n_probe=2, centroids=centroids
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the stored scan must carry the literal cell filter as a PARTITION
+    # filter (cell is the partition column) — pruning happens before read
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # and it must be non-empty (the literal IN list reached the scan)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"empty partition filter: {m}"
