@@ -73,6 +73,7 @@ HEADLINE = [
     "window_rank_lag",
     "value_percentiles",
     "route_queries",
+    "prebuild_query_hybrid",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -1736,6 +1736,49 @@ def fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_candidates(surfaces, entity_dictionary_df(spark), min_jaccard=0.3)
 
 
+@_q("prebuild_query_hybrid")  # rows-only: full flow covered in test_prebuild.py
+def prebuild_query_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MAIN flow end-to-end: auto-discover a (fixed,
+    deterministic) project data dir, prebuild its versioned dense+sparse
+    indexes with checksum skip, and serve a hybrid query from the STORED
+    tables (dense ∪ sparse ∪ basic, dense-first precedence)."""
+    import json
+    import os
+    import tempfile
+
+    from darkbo_spark.retrieval.prebuild import prebuild_all, query_project
+
+    base = os.path.join(tempfile.gettempdir(), "darkbo_spark_prebuild_demo")
+    data_dir = os.path.join(base, "data")
+    out_dir = os.path.join(base, "indexes")
+    proj = os.path.join(data_dir, "900")
+    os.makedirs(proj, exist_ok=True)
+    faq_path = os.path.join(proj, "900.faq.json")
+    if not os.path.exists(faq_path):
+        rows = [
+            {
+                "id": None,
+                "question": q,
+                "answer": a,
+                "created_at": "2024-01-01T00:00:00Z",
+                "updated_at": "2024-01-01T00:00:00Z",
+                "source": "faq",
+                "source_file": "900.faq.json",
+            }
+            for q, a in [
+                ("How fast is a table scan?", "A fast table scan reads only pruned columns."),
+                ("What is a window aggregate?", "A window aggregate computes per-partition rankings."),
+                ("How are shuffles minimized?", "Broadcast small dimensions and pre-partition joins."),
+            ]
+        ]
+        with open(faq_path, "w") as f:
+            json.dump(rows, f)
+    prebuild_all(spark, data_dir, out_dir)  # fingerprint-skips when warm
+    return query_project(
+        spark, out_dir, "900", "fast table scan with window agg", top_k=3
+    )
+
+
 @_q("embed_link_candidates")  # rows-only: generator agreement in test_link.py
 def embed_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M3 embedding leg of fuzzy candidate generation: LSH-bucketed
