@@ -177,7 +177,19 @@ def main() -> int:
     print(json.dumps(summary))
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "a") as f:
+    baseline_path = os.path.join(repo, "BENCH", "BASELINE.md")
+    # idempotent write under the extra-benchmarks marker: bench_scaling.py
+    # preserves everything from the marker on when it rewrites the file, and
+    # a re-run of THIS script replaces its own section instead of appending
+    marker = "<!-- extra-benchmarks -->"
+    head = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            content = f.read()
+        head = content.split(marker)[0].rstrip() + "\n"
+    with open(baseline_path, "w") as f:
+        f.write(head)
+        f.write(f"\n{marker}\n")
         f.write(
             f"""
 ## Salted link vs plain shuffle join (Zipf-skewed mentions)

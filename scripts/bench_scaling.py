@@ -138,7 +138,17 @@ def main() -> int:
         "pass": eff >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve marker-delimited extra benchmark sections (e.g. the salted
+    # link skew table from bench_link_skew.py) across the rewrite
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            prev = f.read()
+        marker = "<!-- extra-benchmarks -->"
+        if marker in prev:
+            extra = prev[prev.index(marker):]
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH baseline — measured scaling evidence
 
@@ -182,6 +192,8 @@ stages, so their per-stage wall includes task-slot wait — only the total
 wall / docs-per-sec is load-bearing.)
 """
         )
+        if extra:
+            f.write("\n" + extra)
     print(json.dumps(summary))
     return 0 if summary["pass"] else 1
 
