@@ -72,6 +72,8 @@ HEADLINE = [
     "rollup_lineitem",
     "window_rank_lag",
     "value_percentiles",
+    "heavy_hitters_exact",
+    "heavy_hitters_sketch",
     "route_queries",
     "prebuild_query_hybrid",
 ]

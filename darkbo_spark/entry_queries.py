@@ -1327,6 +1327,42 @@ def user_counts_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "heavy_hitters_exact",
+    """
+SELECT user_id, COUNT(*) AS n
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id ASC
+LIMIT 10
+""",
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the exact twin of the frequent-items sketch: head-entity detection is
+    # the input to skew defenses (salting keys, bucket caps) at 100 TB
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@_q("heavy_hitters_sketch")  # rows-only: superset-of-true-HH asserted in pytest
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Karp-Papadimitriou-Shenker via
+    df.stat.freqItems) — one pass, mergeable, bounded memory: the 100 TB
+    form of "which keys are skewed enough to salt". Guarantee: every item
+    with frequency ≥ support is returned (false positives possible, false
+    negatives not) — that superset property is what a skew defense needs
+    and is asserted against exact counts in pytest."""
+    hh = _t(spark, sf_dir, "events").stat.freqItems(["user_id"], support=0.005)
+    return (
+        hh.select(F.explode("user_id_freqItems").alias("user_id"))
+        .orderBy(F.asc("user_id"))
+    )
+
+
 @_q("value_percentiles_sketch")  # rows-only: error vs exact asserted in pytest
 def value_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_percentile (Greenwald-Khanna style sketch) — mergeable,

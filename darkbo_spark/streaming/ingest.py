@@ -115,6 +115,50 @@ def dedup_stream(
     return events.dropDuplicates(keys)
 
 
+def stream_pages_to_linked_triples(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    entity_dict: DataFrame,
+    link_strategy: str = "broadcast",
+):
+    """Streaming twin of the FULL KG pipeline's per-page path: each
+    micro-batch of landed pages runs extract → segment → triples → entity
+    LINK (same batch transforms, same broadcast/salted strategies) and
+    appends linked triples. The dictionary is batch-side (slowly-changing
+    dimension joined per micro-batch — the standard stream-static join);
+    canonicalization stays a batch concern because alias clusters are
+    corpus-global. Checkpoint gives exactly-once per-batch resume, so a
+    kill-restart never duplicates or drops a page file."""
+    from darkbo_spark.kg.link import link_entities
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        linked = link_entities(
+            extract_doc_triples_df(extract_docs(batch_df)),
+            entity_dict,
+            strategy=link_strategy,
+        )
+        (
+            linked.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_asof_candidates(
     spark: SparkSession,
     events_path: str,

@@ -75,3 +75,27 @@ def test_rolling_fingerprint_order_sensitive(spark):
     for t in ["alpha", "beta", "gamma"]:
         acc = (acc * _ROLL_B + th[t]) % _ROLL_P
     assert got[0] == acc
+
+
+def test_heavy_hitters_sketch_superset_of_exact(spark, sf_dir):
+    """freqItems guarantee: every user whose true frequency ≥ support must
+    appear in the sketch output (false positives allowed, negatives not)."""
+    import pyspark.sql.functions as F
+
+    support = 0.005
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    exact_hh = {
+        r.user_id
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= support * n)
+        .collect()
+    }
+    sketch = {
+        r.user_id
+        for r in ev.stat.freqItems(["user_id"], support=support)
+        .select(F.explode("user_id_freqItems").alias("user_id"))
+        .collect()
+    }
+    assert exact_hh <= sketch

@@ -254,3 +254,39 @@ def test_stream_asof_join_restart(spark, tmp_path):
         ).select("event_id", "user_id", "asof_o_orderkey").collect()
     }
     assert got == exp and len(got) == 6
+
+
+def test_stream_linked_triples_equals_batch(spark, tmp_path):
+    """Streaming extract→triples→LINK twin: the appended linked triples
+    equal the batch path's output on the same pages, including eids; a
+    restart with no new files reprocesses nothing."""
+    from darkbo_spark.kg.extract import extract_docs as _ed
+    from darkbo_spark.kg.link import link_entities
+    from darkbo_spark.kg.pages import entity_dictionary_df
+    from darkbo_spark.streaming.ingest import stream_pages_to_linked_triples
+
+    inp = str(tmp_path / "pages_in")
+    outp = str(tmp_path / "linked_out")
+    ckpt = str(tmp_path / "ckpt_link")
+    synth_pages(spark, 40, seed=33).write.parquet(inp)
+    d = entity_dictionary_df(spark).select("alias", "eid")
+    q = stream_pages_to_linked_triples(spark, inp, outp, ckpt, d)
+    q.awaitTermination(120)
+
+    got = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj, r.subj_eid, r.obj_eid)
+        for r in spark.read.parquet(outp).collect()
+    }
+    batch = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj, r.subj_eid, r.obj_eid)
+        for r in link_entities(
+            extract_doc_triples_df(_ed(synth_pages(spark, 40, seed=33))), d
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+    # some triples actually linked (non-null eids) — the join did real work
+    assert any(t[5] is not None for t in got)
+
+    q2 = stream_pages_to_linked_triples(spark, inp, outp, ckpt, d)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(outp).count() == len(batch)
