@@ -511,6 +511,45 @@ def _corpus_fp(sf_dir: str, table: str) -> str:
     return hashlib.md5(f"{sf_dir}|{table}|{mtimes}".encode()).hexdigest()
 
 
+def _stored_table(sf_dir: str, name: str, source_table: str, build, partition_by=None):
+    """Publish-once plumbing for the stored-index queries: per-user tmp
+    base (no cross-user collisions) and the publish held under a
+    BuildLock with a double-checked fingerprint — concurrent driver /
+    bench / pytest processes must never race two writers into the same
+    v{seq} dir (the exact hazard SnapshotTable's own docs call out). A
+    loser WAITS for the winner and then finds the fingerprint fresh."""
+    import os
+    import tempfile
+    import time
+
+    from darkbo_spark.storage.snapshots import BuildLock, SnapshotTable
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"darkbo_spark_indexes_u{os.getuid()}"
+    )
+    table = SnapshotTable(base, name)
+    fp = _corpus_fp(sf_dir, source_table)
+    if table.current_fingerprint() == fp:
+        return table
+    lock = BuildLock(base, name)
+    owner = f"q-{os.getpid()}-{time.time()}"
+    for _ in range(240):
+        if lock.acquire(owner):
+            break
+        if table.current_fingerprint() == fp:
+            return table  # a concurrent publisher finished our work
+        time.sleep(0.5)
+    else:
+        raise RuntimeError(f"stored-index lock busy for {name}: {lock.owner()}")
+    try:
+        if table.current_fingerprint() != fp:  # double-checked under the lock
+            table.publish(build(), fp, partition_by=partition_by)
+            table.expire(retain_last=3)
+    finally:
+        lock.release(owner)
+    return table
+
+
 @_q("parsed_search_stored", _PARSED_ORACLE)
 def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 end-to-end: the BM25 postings are MATERIALIZED once as a
@@ -519,20 +558,18 @@ def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the same raw-query search runs against the STORED postings. Same
     oracle as the inline form — the driver hash proves store+serve loses
     nothing. Re-runs over the same corpus hit the fingerprint skip."""
-    import os
-    import tempfile
-
     from darkbo_spark.operators.queryparse import search_text
     from darkbo_spark.operators.tfidf import build_bm25_postings
-    from darkbo_spark.storage.snapshots import SnapshotTable
 
     docs = _t(spark, sf_dir, "documents")
-    base = os.path.join(tempfile.gettempdir(), "darkbo_spark_indexes")
-    table = SnapshotTable(base, "bm25_postings")
-    fp = _corpus_fp(sf_dir, "documents")
-    if table.current_fingerprint() != fp:
-        table.publish(build_bm25_postings(docs), fp, partition_by=None)
-        table.expire(retain_last=3)
+    # persist=False: this build feeds exactly ONE write — caching its tf
+    # frame would pin dead executor memory for the rest of the session
+    table = _stored_table(
+        sf_dir,
+        "bm25_postings",
+        "documents",
+        lambda: build_bm25_postings(docs, persist=False),
+    )
     stored = table.read(spark)
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=stored)
 
@@ -976,27 +1013,23 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force and the driver hash-verifies store+serve end to end; the
     selective n_probe<cells form is equality-tested against the in-plan
     ivf_topk in tests/test_similarity.py."""
-    import os
-    import tempfile
-
     from darkbo_spark.operators.similarity import (
         build_ivf_index,
         ivf_topk_stored,
         train_ivf_centroids,
     )
-    from darkbo_spark.storage.snapshots import SnapshotTable
 
     emb, queries = _ann_inputs(spark, sf_dir)
     # deterministic quantizer: same seeded sample → same centroids at
     # publish and query time (the production analog stores them in meta)
     centroids = train_ivf_centroids(emb, dim=64, n_cells=16)
-    base = os.path.join(tempfile.gettempdir(), "darkbo_spark_indexes")
-    table = SnapshotTable(base, "ivf_index")
-    fp = _corpus_fp(sf_dir, "embeddings")
-    if table.current_fingerprint() != fp:
-        index, _ = build_ivf_index(emb, dim=64, n_cells=16, centroids=centroids)
-        table.publish(index, fp, partition_by=["cell"])
-        table.expire(retain_last=3)
+    table = _stored_table(
+        sf_dir,
+        "ivf_index",
+        "embeddings",
+        lambda: build_ivf_index(emb, dim=64, n_cells=16, centroids=centroids)[0],
+        partition_by=["cell"],
+    )
     stored = table.read(spark)
     return ivf_topk_stored(stored, queries, centroids, k=5, n_probe=16).select(
         "qid", "doc_id", "score"
@@ -1082,6 +1115,14 @@ ORDER BY id_a, id_b
 def _simhash_portable_oracle(max_hamming: int, max_bucket: int, id_limit: int) -> str:
     nbits = 60
     n_bands = max_hamming + 1
+    # Spark's last band absorbs the remainder bits (dedup.py mask -1); this
+    # oracle masks every band to a FIXED width — the two agree only when
+    # the bands divide nbits evenly, so refuse any other configuration
+    # rather than silently generating a diverging oracle
+    assert nbits % n_bands == 0, (
+        f"portable simhash oracle requires (max_hamming+1) | {nbits}; "
+        f"got max_hamming={max_hamming} → {n_bands} bands"
+    )
     width = nbits // n_bands
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
@@ -1781,35 +1822,58 @@ def prebuild_query_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
     import tempfile
+    import time
 
     from darkbo_spark.retrieval.prebuild import prebuild_all, query_project
 
-    base = os.path.join(tempfile.gettempdir(), "darkbo_spark_prebuild_demo")
+    # per-user dir (no cross-user collisions); fixture written ATOMICALLY
+    # (tmp + rename — a concurrent reader never sees a half-written file)
+    # and compared by CONTENT, so editing the embedded rows invalidates a
+    # stale /tmp copy instead of silently serving the old corpus
+    base = os.path.join(
+        tempfile.gettempdir(), f"darkbo_spark_prebuild_demo_u{os.getuid()}"
+    )
     data_dir = os.path.join(base, "data")
     out_dir = os.path.join(base, "indexes")
     proj = os.path.join(data_dir, "900")
     os.makedirs(proj, exist_ok=True)
     faq_path = os.path.join(proj, "900.faq.json")
-    if not os.path.exists(faq_path):
-        rows = [
-            {
-                "id": None,
-                "question": q,
-                "answer": a,
-                "created_at": "2024-01-01T00:00:00Z",
-                "updated_at": "2024-01-01T00:00:00Z",
-                "source": "faq",
-                "source_file": "900.faq.json",
-            }
-            for q, a in [
-                ("How fast is a table scan?", "A fast table scan reads only pruned columns."),
-                ("What is a window aggregate?", "A window aggregate computes per-partition rankings."),
-                ("How are shuffles minimized?", "Broadcast small dimensions and pre-partition joins."),
-            ]
+    rows = [
+        {
+            "id": None,
+            "question": q,
+            "answer": a,
+            "created_at": "2024-01-01T00:00:00Z",
+            "updated_at": "2024-01-01T00:00:00Z",
+            "source": "faq",
+            "source_file": "900.faq.json",
+        }
+        for q, a in [
+            ("How fast is a table scan?", "A fast table scan reads only pruned columns."),
+            ("What is a window aggregate?", "A window aggregate computes per-partition rankings."),
+            ("How are shuffles minimized?", "Broadcast small dimensions and pre-partition joins."),
         ]
-        with open(faq_path, "w") as f:
-            json.dump(rows, f)
-    prebuild_all(spark, data_dir, out_dir)  # fingerprint-skips when warm
+    ]
+    payload = json.dumps(rows)
+    current = None
+    if os.path.exists(faq_path):
+        with open(faq_path) as f:
+            current = f.read()
+    if current != payload:
+        fd, tmp = tempfile.mkstemp(dir=proj, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        os.replace(tmp, faq_path)
+    # a concurrent builder holding the project lock is fine — wait briefly
+    # and retry; it is building the very indexes this query needs
+    for attempt in range(20):
+        try:
+            prebuild_all(spark, data_dir, out_dir)  # fingerprint-skips when warm
+            break
+        except RuntimeError as e:
+            if "lock" not in str(e) or attempt == 19:
+                raise
+            time.sleep(0.5)
     return query_project(
         spark, out_dir, "900", "fast table scan with window agg", top_k=3
     )

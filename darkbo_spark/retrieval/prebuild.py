@@ -51,34 +51,23 @@ from darkbo_spark.storage.snapshots import BuildLock, SnapshotTable
 def project_items(
     spark: SparkSession, project_id: str, paths: dict[str, str | None]
 ) -> DataFrame:
-    """(id, type, title, content) — the reference's item corpus: FAQ
-    content is 'question answer' (title=question), KB content is the
-    chunk body (title=article)."""
+    """(id, type, title, content) — the reference's item corpus, delegated
+    to the one item-shape definition in sources/readers.py (faq_items /
+    kb_items): FAQ content is 'question answer' (title=question), KB
+    content is the chunk body (title=article)."""
+    from darkbo_spark.sources.readers import faq_items, kb_items
+
     parts = []
     if paths.get("faq"):
-        parts.append(
-            read_faq_json(spark, paths["faq"], project_id).select(
-                "id",
-                F.lit("faq").alias("type"),
-                F.col("question").alias("title"),
-                F.concat_ws(" ", "question", "answer").alias("content"),
-            )
-        )
+        parts.append(faq_items(read_faq_json(spark, paths["faq"], project_id)))
     if paths.get("kb"):
-        parts.append(
-            read_kb_json(spark, paths["kb"], project_id).select(
-                "id",
-                F.lit("kb").alias("type"),
-                F.col("article").alias("title"),
-                "content",
-            )
-        )
+        parts.append(kb_items(read_kb_json(spark, paths["kb"], project_id)))
     if not parts:
         raise ValueError(f"project {project_id} has no FAQ or KB data")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.drop("project_id")
 
 
 def _data_fingerprint(paths: dict[str, str | None]) -> str:

@@ -140,22 +140,31 @@ def read_attachments(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def unified_items(faqs: DataFrame, kb: DataFrame) -> DataFrame:
-    """§1.1 unified index item: one row per FAQ/KB entry with a common
-    schema; FAQ content is 'question answer' (reference concat behavior,
-    api/index_versioning.py:366)."""
-    f = faqs.select(
+def faq_items(faqs: DataFrame) -> DataFrame:
+    """FAQ rows → unified item shape; content is 'question answer'
+    (reference concat behavior, api/index_versioning.py:366)."""
+    return faqs.select(
         "id",
         F.lit("faq").alias("type"),
         F.col("question").alias("title"),
         F.concat_ws(" ", "question", "answer").alias("content"),
         "project_id",
     )
-    k = kb.select(
+
+
+def kb_items(kb: DataFrame) -> DataFrame:
+    """KB rows → unified item shape (title = article)."""
+    return kb.select(
         "id",
         F.lit("kb").alias("type"),
         F.col("article").alias("title"),
         "content",
         "project_id",
     )
-    return f.unionByName(k)
+
+
+def unified_items(faqs: DataFrame, kb: DataFrame) -> DataFrame:
+    """§1.1 unified index item: one row per FAQ/KB entry with a common
+    schema. The per-source shaping lives in faq_items/kb_items so single-
+    source callers (retrieval/prebuild.py) share the one definition."""
+    return faq_items(faqs).unionByName(kb_items(kb))

@@ -46,7 +46,13 @@ def stream_pages_to_triples(
 ):
     """File-source streaming ingest: each new parquet file of pages becomes
     a micro-batch run through the SAME batch transforms. Returns the
-    StreamingQuery (caller awaits / stops)."""
+    StreamingQuery (caller awaits / stops).
+
+    foreachBatch is at-least-once (a crash between the sink write and the
+    offset commit replays the batch), so the write is made IDEMPOTENT:
+    dynamic partition overwrite keyed by batch_id — a replayed batch
+    rewrites its own partition instead of appending duplicates, which is
+    the standard exactly-once-effect pattern for foreachBatch sinks."""
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -57,7 +63,9 @@ def stream_pages_to_triples(
         triples = extract_doc_triples_df(extract_docs(batch_df))
         (
             triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_path)
         )
 
@@ -126,11 +134,13 @@ def stream_pages_to_linked_triples(
     """Streaming twin of the FULL KG pipeline's per-page path: each
     micro-batch of landed pages runs extract → segment → triples → entity
     LINK (same batch transforms, same broadcast/salted strategies) and
-    appends linked triples. The dictionary is batch-side (slowly-changing
+    writes linked triples. The dictionary is batch-side (slowly-changing
     dimension joined per micro-batch — the standard stream-static join);
     canonicalization stays a batch concern because alias clusters are
-    corpus-global. Checkpoint gives exactly-once per-batch resume, so a
-    kill-restart never duplicates or drops a page file."""
+    corpus-global. foreachBatch is at-least-once, so the sink is made
+    idempotent per batch (dynamic partition overwrite keyed by batch_id):
+    a crash-replayed batch rewrites its own partition — exactly-once
+    EFFECT, no duplicates, no drops."""
     from darkbo_spark.kg.link import link_entities
 
     pages = (
@@ -147,7 +157,9 @@ def stream_pages_to_linked_triples(
         )
         (
             linked.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_path)
         )
 

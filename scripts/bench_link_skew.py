@@ -105,17 +105,38 @@ def _signature(df):
     return (row.n, int(row.h))
 
 
+def _fetch_stages(spark) -> list[dict]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete&withSummaries=true",
+        timeout=10,
+    ) as r:
+        return json.load(r)
+
+
 def _max_task_ms(spark, since_stage: int) -> tuple[int | None, int]:
     """Max task duration (ms) over stages completed after `since_stage`,
-    taken from the heaviest-shuffle-read stage; returns (ms, newest_stage)."""
+    taken from the heaviest-shuffle-read stage; returns (ms, newest_stage).
+
+    The REST store is fed by the ASYNC listener bus, so the just-finished
+    run's stages may not be visible yet — without polling, this run's
+    straggler would be attributed to the NEXT strategy's row. Poll until
+    fresh stages appear and the list is stable across two reads."""
     try:
-        ui = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app}/stages?status=complete&withSummaries=true",
-            timeout=10,
-        ) as r:
-            stages = json.load(r)
+        stages: list[dict] = []
+        for _ in range(30):  # up to ~9 s for the listener bus to drain
+            stages = _fetch_stages(spark)
+            if any(s["stageId"] > since_stage for s in stages):
+                settled = _fetch_stages(spark)
+                if {s["stageId"] for s in settled} == {s["stageId"] for s in stages}:
+                    stages = settled
+                    break
+                stages = settled
+            else:
+                import time as _time
+
+                _time.sleep(0.3)
         fresh = [s for s in stages if s["stageId"] > since_stage]
         newest = max((s["stageId"] for s in stages), default=since_stage)
         if not fresh:

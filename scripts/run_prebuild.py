@@ -55,13 +55,22 @@ def main() -> int:
             failed += 1
 
     out = {"projects": results, "failed": failed}
-    if args.query and args.project:
-        rows = query_project(
-            spark, args.out, args.project, args.query, top_k=args.top_k
-        ).collect()
-        out["query_results"] = [
-            {"id": r.id, "score": r.score, "search_type": r.search_type} for r in rows
-        ]
+    if args.query and not args.project:
+        ap.error("--query requires --project")
+    if args.query:
+        try:
+            rows = query_project(
+                spark, args.out, args.project, args.query, top_k=args.top_k
+            ).collect()
+            out["query_results"] = [
+                {"id": r.id, "score": r.score, "search_type": r.search_type}
+                for r in rows
+            ]
+        except Exception as e:
+            # a failed/absent project must not break the one-JSON-line
+            # contract — the per-project summary still prints, exit stays 1
+            out["query_error"] = str(e)
+            failed += 1
     print(json.dumps(out))
     spark.stop()
     return 1 if failed else 0

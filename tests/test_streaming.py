@@ -290,3 +290,36 @@ def test_stream_linked_triples_equals_batch(spark, tmp_path):
     q2 = stream_pages_to_linked_triples(spark, inp, outp, ckpt, d)
     q2.awaitTermination(120)
     assert spark.read.parquet(outp).count() == len(batch)
+
+    # crash INSIDE the at-least-once window: the sink write committed but
+    # the offset didn't (simulated by deleting the newest commit marker).
+    # The restart replays that batch; the idempotent per-batch-partition
+    # overwrite must leave the output byte-identical — no duplicates.
+    # Drain the prior query fully first: Spark refuses a checkpoint that a
+    # not-yet-deregistered query still claims ("concurrently using").
+    import time as _time
+
+    q2.stop()
+    for _ in range(100):
+        if not any(x.isActive for x in spark.streams.active):
+            break
+        _time.sleep(0.1)
+    commits = sorted(
+        p
+        for p in (tmp_path / "ckpt_link" / "commits").iterdir()
+        if not p.name.startswith(".")
+    )
+    commits[-1].unlink()
+    # the Hadoop local FS keeps a .N.crc sidecar; leaving it behind makes
+    # the replayed commit write look like a concurrent query's tampering
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    q3 = stream_pages_to_linked_triples(spark, inp, outp, ckpt, d)
+    q3.awaitTermination(120)
+    replayed = {
+        (r.url, r.sent_idx, r.subj, r.pred, r.obj, r.subj_eid, r.obj_eid)
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert replayed == batch
+    assert spark.read.parquet(outp).count() == len(batch)
