@@ -76,6 +76,8 @@ HEADLINE = [
     "heavy_hitters_sketch",
     "route_queries",
     "prebuild_query_hybrid",
+    "kg_triples_x",
+    "kg_linked_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -1982,3 +1982,58 @@ def kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_entities(raw, entity_dictionary_df(spark)).select(
         "triple_id", "subj", "pred", "obj", "subj_eid", "obj_eid"
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-oracled KG twins (kg/oracle_twin.py): the page text is built by a
+# dialect-neutral SQL expression over documents.doc_id, the SPARK side runs
+# the REAL pipeline (Arrow clean_text UDF → segmenter → rule extractor →
+# broadcast link), and the DuckDB oracle independently replays clean →
+# segment → extract → link in pure SQL. The hash gate proves the pipeline's
+# SEMANTICS end to end — not just row counts.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import (  # noqa: E402
+    est_oracle_sql,
+    linked_oracle_sql,
+)
+
+
+def _twin_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.kg.oracle_twin import twin_pages
+    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
+
+    pages = twin_pages(_t(spark, sf_dir, "documents"))
+    return extract_raw_triples(segment_sentences(extract_docs(pages)))
+
+
+@_q("kg_triples_x", est_oracle_sql(240))
+def kg_triples_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.oracle_twin import triple_sha_col
+
+    return _twin_raw(spark, sf_dir).select(
+        "url",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "subj",
+        "pred",
+        "obj",
+        triple_sha_col().alias("triple_sha"),
+    )
+
+
+@_q("kg_linked_x", linked_oracle_sql(240))
+def kg_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.link import link_entities
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+
+    linked = link_entities(_twin_raw(spark, sf_dir), twin_entity_dict(spark))
+    return linked.select(
+        "url",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "subj",
+        "pred",
+        "obj",
+        "subj_eid",
+        "obj_eid",
+    )

@@ -1,0 +1,291 @@
+"""Driver-oracleable twin of the KG E→S→T(→L) pipeline.
+
+The production `kg_raw_triples` / `kg_linked_entities` queries run over
+`kg.pages.synth_pages`, which the driver's DuckDB gate cannot see (pages
+are generated in Python). This module closes that verification gap: the
+page text is constructed by ONE dialect-neutral SQL expression (CASE
+picks + `||` + chr — parses identically under Spark `F.expr` and DuckDB)
+over the registered `documents.doc_id` column, so
+
+* the Spark side feeds that text through the REAL pipeline — the Arrow
+  clean_text UDF, the sentence segmenter, the rule-pattern extractor and
+  the broadcast link join (`kg.extract` / `kg.triples` / `kg.link`), and
+* the DuckDB oracle independently replays clean → segment → extract →
+  link in pure SQL (regexp_replace chain, marker split, named-group
+  regexp_extract, normalized-alias left joins),
+
+and the driver hash-verifies the two end to end. The constructed text is
+deliberately messy — runs of spaces, a tab, out-of-charset junk, 5-dot
+ellipses, 5-dash runs, space-before-punct, `!!` punct pairs — so every
+clean_text rule (reference invariant, api/document_processor.py:130-157)
+is exercised, not just the happy path.
+
+Cross-engine regex ground rules (probed value-for-value before landing):
+
+* the corpus is pure ASCII, where Python `re` and RE2 agree on `\\w`/`\\s`
+  (unicode vs ASCII classes is exactly why the PRODUCTION path keeps
+  Python `re` inside the UDF — see reference_impl.py);
+* RE2's default leftmost-first matching equals `re.search` for these
+  patterns (verified: identical 760-triple output over 120 docs);
+* `(?<=[.!?]) +` lookbehind (unsupported in RE2) is replayed as
+  mark-then-split: replace `([.!?]) +` with `\\1`+chr(1), split on chr(1);
+* ids are sha256-based (`functions.ids.sha256_id_col`) because uuid5
+  needs sha1, which DuckDB lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from darkbo_spark.functions.ids import sha256_id_col
+from darkbo_spark.reference_impl import TRIPLE_PATTERNS
+
+# ---------------------------------------------------------------------------
+# Vocabulary (smaller than kg.pages' — this is a verification corpus)
+# ---------------------------------------------------------------------------
+
+ADJ = ["Acme", "Quantum", "Stellar", "Vertex", "Nimbus", "Orion"]
+NOUN = ["Systems", "Labs", "Dynamics", "Holdings"]
+FIRST = ["Alice", "Robert", "Maria", "Wei", "Priya"]
+LAST = ["Walker", "Chen", "Garcia", "Patel"]
+CITY = ["Springfield", "Berlin", "Tokyo", "Toronto", "Oslo"]
+KIND = ["technology company", "consulting firm", "research organization"]
+
+
+def _pick(values: list[str], mod_expr: str) -> str:
+    """CASE-pick — the only vocab indexing both dialects parse identically."""
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
+    return f"(CASE {mod_expr} {whens} END)"
+
+
+def raw_text_sql(id_col: str = "doc_id") -> str:
+    """Messy raw page text for row `id_col`, as a dialect-neutral SQL
+    expression (valid under Spark F.expr AND DuckDB verbatim). Sentences
+    cover 8 of the 12 triple patterns plus a pattern-free noise sentence;
+    the junk tokens exercise every clean_text rule (module docstring)."""
+    i = id_col
+    comp = f"{_pick(ADJ, f'{i} % 6')} || ' ' || {_pick(NOUN, f'{i} % 4')}"
+    comp2 = f"{_pick(ADJ, f'({i} + 3) % 6')} || ' ' || {_pick(NOUN, f'({i} + 1) % 4')}"
+    person = f"{_pick(FIRST, f'{i} % 5')} || ' ' || {_pick(LAST, f'{i} % 4')}"
+    city = _pick(CITY, f"{i} % 5")
+    kind = _pick(KIND, f"{i} % 3")
+    year = f"'19' || CAST(80 + {i} % 20 AS STRING)"
+    s1 = f"{comp} || '   was  founded by ' || {person} || ' .'"
+    s2 = f"{comp} || ' was founded in ' || {year} || '!!'"
+    s3 = (
+        f"{comp} || (CASE {i} % 2 WHEN 0 THEN ' is based in ' "
+        f"ELSE ' is headquartered in ' END) || {city} || '.'"
+    )
+    s4 = f"{person} || ' is the CEO of ' || {comp} || ' .....'"
+    s5 = "'The committee @#$% will reconvene after the *** recess .'"
+    s6 = f"(CASE WHEN {i} % 3 = 0 THEN {comp} || ' acquired ' || {comp2} || '. ' ELSE '' END)"
+    s7 = (
+        f"{person} || (CASE {i} % 2 WHEN 0 THEN ' works at ' "
+        f"ELSE ' works for ' END) || {comp2} || '.'"
+    )
+    s8 = f"{comp} || ' is a ' || {kind} || ' ----- est ' || {year} || '.'"
+    return (
+        f"'  ' || {s1} || '  ' || {s2} || ' ' || {s3} || chr(9) || {s4}"
+        f" || ' ' || {s5} || ' ' || {s6} || {s7} || ' ' || {s8}"
+    )
+
+
+def twin_pages(docs: DataFrame, id_limit: int = 240) -> DataFrame:
+    """(url, warc_ts, lang, text) pages whose text is the SQL-constructed
+    raw corpus — the input the real E→S→T pipeline runs on."""
+    return docs.filter(F.col("doc_id") < id_limit).select(
+        F.concat(F.lit("https://twin.test/p/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        F.expr(raw_text_sql("doc_id")).alias("text"),
+    )
+
+
+def triple_sha_col() -> F.Column:
+    """Cross-engine deterministic triple id over the content key."""
+    return sha256_id_col(
+        "triple", "url", F.col("sent_idx").cast("string"), "subj", "pred", "obj"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-dictionary twin (sha256 eids so DuckDB reproduces them natively)
+# ---------------------------------------------------------------------------
+
+
+def twin_entity_dict(spark: SparkSession) -> DataFrame:
+    """(eid, alias) rows: 24 companies × 3 alias forms (canonical, ' Inc',
+    'The … Company' — the last exercises the leading-'the ' strip in
+    link._norm), 20 persons, 5 cities."""
+    adj = F.array(*[F.lit(x) for x in ADJ])
+    noun = F.array(*[F.lit(x) for x in NOUN])
+    first = F.array(*[F.lit(x) for x in FIRST])
+    last = F.array(*[F.lit(x) for x in LAST])
+    city = F.array(*[F.lit(x) for x in CITY])
+
+    comp = spark.range(len(ADJ) * len(NOUN)).select(
+        F.concat_ws(
+            " ",
+            F.element_at(adj, (F.col("id") % 6 + 1).cast("int")),
+            F.element_at(noun, (F.floor(F.col("id") / 6) + 1).cast("int")),
+        ).alias("canonical")
+    )
+    comp = comp.select(
+        "canonical",
+        F.explode(
+            F.array(
+                F.col("canonical"),
+                F.concat(F.col("canonical"), F.lit(" Inc")),
+                F.concat(F.lit("The "), F.col("canonical"), F.lit(" Company")),
+            )
+        ).alias("alias"),
+    )
+    pers = spark.range(len(FIRST) * len(LAST)).select(
+        F.concat_ws(
+            " ",
+            F.element_at(first, (F.col("id") % 5 + 1).cast("int")),
+            F.element_at(last, (F.floor(F.col("id") / 5) + 1).cast("int")),
+        ).alias("canonical")
+    )
+    pers = pers.select("canonical", F.col("canonical").alias("alias"))
+    cit = spark.range(len(CITY)).select(
+        F.element_at(city, (F.col("id") + 1).cast("int")).alias("canonical")
+    )
+    cit = cit.select("canonical", F.col("canonical").alias("alias"))
+    return (
+        comp.unionByName(pers)
+        .unionByName(cit)
+        .select(sha256_id_col("entity", "canonical").alias("eid"), "alias")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay (the oracle side)
+# ---------------------------------------------------------------------------
+
+# complement set identical to reference_impl._CHARSET (ASCII domain)
+_CHARSET_CLASS = "[^\\w\\s.,;:!?()\\[\\]\"''/-]"
+
+
+def clean_sql(col: str) -> str:
+    """clean_text replayed in RE2 SQL: the same 6 substitutions in the same
+    order. _WS runs first and removes every newline, so the reference's
+    per-line filter degenerates to one line — replayed as a CASE guard."""
+    c = f"regexp_replace({col}, '\\s+', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_CHARSET_CLASS}', ' ', 'g')"
+    c = f"regexp_replace({c}, '\\.{{3,}}', '...', 'g')"
+    c = f"regexp_replace({c}, '-{{3,}}', '---', 'g')"
+    c = f"regexp_replace({c}, '\\s+([,.;:!?])', '\\1', 'g')"
+    c = f"regexp_replace({c}, '([,.;:!?])\\s*([,.;:!?])', '\\1 \\2', 'g')"
+    t = f"trim({c})"
+    return (
+        f"(CASE WHEN length({t}) > 10 OR (length({t}) > 3 AND "
+        f"regexp_matches({t}, '[A-Za-z]')) THEN {t} ELSE '' END)"
+    )
+
+
+def sentences_sql(cleaned: str) -> str:
+    """split_sentences replayed: `(?<=[.!?]) +` lookbehind → mark + split."""
+    marked = f"regexp_replace({cleaned}, '([.!?]) +', '\\1' || chr(1), 'g')"
+    return (
+        f"list_filter(list_transform(string_split({marked}, chr(1)), "
+        f"x -> trim(x)), x -> x <> '')"
+    )
+
+
+def _sents_cte(id_limit: int) -> str:
+    return f"""
+WITH raw AS (
+  SELECT 'https://twin.test/p/' || CAST(doc_id AS STRING) AS url,
+         {raw_text_sql("doc_id")} AS t
+  FROM documents WHERE doc_id < {id_limit}
+),
+s AS (SELECT url, {sentences_sql(clean_sql("t"))} AS sents FROM raw),
+sents AS (
+  SELECT url, unnest(sents) AS sentence,
+         generate_subscripts(sents, 1) - 1 AS sent_idx
+  FROM s
+),
+triples AS (
+  SELECT url, sent_idx, trim(so.s) AS subj, pred, trim(so.o) AS obj
+  FROM ({_pattern_union()})
+)"""
+
+
+def _pattern_union() -> str:
+    """One SELECT per TRIPLE_PATTERN, verbatim pattern text (RE2 accepts
+    (?P<name>…) named groups; DuckDB regexp_extract returns them as a
+    struct). WHERE regexp_matches gates emission like `pat.search`."""
+    parts = []
+    for pred, pat in TRIPLE_PATTERNS:
+        p = pat.pattern.replace("'", "''")
+        parts.append(
+            f"SELECT url, sent_idx, "
+            f"regexp_extract(sentence, '{p}', ['s','o']) AS so, '{pred}' AS pred "
+            f"FROM sents WHERE regexp_matches(sentence, '{p}')"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _sha_expr() -> str:
+    return (
+        "substr(sha256('triple:' || url || ':' || CAST(sent_idx AS STRING)"
+        " || ':' || subj || ':' || pred || ':' || obj), 1, 32)"
+    )
+
+
+def est_oracle_sql(id_limit: int = 240) -> str:
+    """DuckDB replay of extract_docs → segment_sentences →
+    extract_raw_triples over the twin corpus."""
+    return f"""{_sents_cte(id_limit)}
+SELECT url, sent_idx, subj, pred, obj, {_sha_expr()} AS triple_sha
+FROM triples
+ORDER BY url, sent_idx, pred
+"""
+
+
+def _dict_sql() -> str:
+    comp_c = (
+        f"{_pick(ADJ, 'i % 6')} || ' ' || "
+        f"{_pick(NOUN, 'CAST((i - i % 6) / 6 AS INT)')}"
+    )
+    pers_c = (
+        f"{_pick(FIRST, 'i % 5')} || ' ' || "
+        f"{_pick(LAST, 'CAST((i - i % 5) / 5 AS INT)')}"
+    )
+    city_c = _pick(CITY, "i")
+    return f"""
+dict AS (
+  SELECT substr(sha256('entity:' || c), 1, 32) AS eid,
+         unnest([c, c || ' Inc', 'The ' || c || ' Company']) AS alias
+  FROM (SELECT {comp_c} AS c FROM range(0, {len(ADJ) * len(NOUN)}) t(i))
+  UNION ALL
+  SELECT substr(sha256('entity:' || c), 1, 32), c
+  FROM (SELECT {pers_c} AS c FROM range(0, {len(FIRST) * len(LAST)}) t(i))
+  UNION ALL
+  SELECT substr(sha256('entity:' || c), 1, 32), c
+  FROM (SELECT {city_c} AS c FROM range(0, {len(CITY)}) t(i))
+),
+dict_norm AS (
+  SELECT regexp_replace(lower(trim(alias)), '^the ', '') AS alias_norm,
+         min(eid) AS eid
+  FROM dict GROUP BY 1
+)"""
+
+
+def linked_oracle_sql(id_limit: int = 240) -> str:
+    """est_oracle_sql + the link stage: normalized-alias LEFT joins against
+    the dictionary twin (mirrors kg.link._norm / _prep_dict / left join)."""
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    return f"""{_sents_cte(id_limit)},
+{_dict_sql().lstrip()}
+SELECT t.url, t.sent_idx, t.subj, t.pred, t.obj,
+       ds.eid AS subj_eid, dob.eid AS obj_eid
+FROM triples t
+LEFT JOIN dict_norm ds  ON {norm.format(c='t.subj')} = ds.alias_norm
+LEFT JOIN dict_norm dob ON {norm.format(c='t.obj')} = dob.alias_norm
+ORDER BY t.url, t.sent_idx, t.pred
+"""
