@@ -1994,6 +1994,7 @@ def kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from darkbo_spark.kg.oracle_twin import (  # noqa: E402
+    canonicalize_oracle_sql,
     est_oracle_sql,
     linked_oracle_sql,
 )
@@ -2020,6 +2021,28 @@ def kg_triples_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj",
         triple_sha_col().alias("triple_sha"),
     )
+
+
+@_q("kg_canonicalize_x", canonicalize_oracle_sql(60))
+def kg_canonicalize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage C driver-proven on the DISTRIBUTED path: large-star/small-star
+    iterative DataFrame joins (operators/components.py) over an engineered
+    alias-chaining dictionary, vs a DuckDB recursive-CTE fixpoint oracle."""
+    from darkbo_spark.kg.canonicalize import canonicalize_entities
+    from darkbo_spark.kg.oracle_twin import twin_alias_dict
+
+    return canonicalize_entities(twin_alias_dict(spark), mode="distributed")
+
+
+@_q("kg_canonicalize_driver_x", canonicalize_oracle_sql(60))
+def kg_canonicalize_driver_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same oracle, driver union-find path — both canonicalization modes
+    produce the identical mapping under the driver's hash gate, not just in
+    pytest's equality assertion."""
+    from darkbo_spark.kg.canonicalize import canonicalize_entities
+    from darkbo_spark.kg.oracle_twin import twin_alias_dict
+
+    return canonicalize_entities(twin_alias_dict(spark), mode="driver")
 
 
 @_q("kg_linked_x", linked_oracle_sql(240))

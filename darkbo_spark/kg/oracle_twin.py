@@ -276,6 +276,59 @@ dict_norm AS (
 )"""
 
 
+def twin_alias_dict(spark: SparkSession, n: int = 60) -> DataFrame:
+    """(eid, alias) rows engineered to alias-chain: entities {3k,3k+1,3k+2}
+    share 'alias-3k', and every 6th entity also claims 'alias-(i+3)',
+    chaining adjacent triples into clusters of six. Canonicalization must
+    merge them to the min sha256 eid per cluster."""
+    i = F.col("id")
+    base = spark.range(n).select(
+        i.alias("i"), sha256_id_col("entity", i.cast("string")).alias("eid")
+    )
+
+    def _alias(expr: F.Column) -> F.Column:
+        return F.concat(F.lit("alias-"), expr.cast("string")).alias("alias")
+
+    a1 = base.select("eid", _alias(F.col("i")))
+    a2 = base.select("eid", _alias(F.col("i") - F.col("i") % 3))
+    a3 = base.filter(F.col("i") % 6 == 0).select("eid", _alias(F.col("i") + 3))
+    return a1.unionByName(a2).unionByName(a3)
+
+
+def canonicalize_oracle_sql(n: int = 60) -> str:
+    """Connected components replayed as a DuckDB RECURSIVE CTE: `reach`
+    enumerates (node, label) for every label whose node can reach it over
+    the undirected bipartite alias graph; min(label) per node is the
+    component id (UNION dedups, so the recursion is a fixpoint). Same
+    min-eid representative rule as kg/canonicalize.py."""
+    return f"""
+WITH RECURSIVE
+ents AS (SELECT i, substr(sha256('entity:' || CAST(i AS STRING)), 1, 32) AS eid
+         FROM range(0, {n}) t(i)),
+pairs AS (
+  SELECT DISTINCT eid, alias_norm FROM (
+    SELECT eid, 'alias-' || CAST(i AS STRING) AS alias_norm FROM ents
+    UNION ALL
+    SELECT eid, 'alias-' || CAST(i - i % 3 AS STRING) FROM ents
+    UNION ALL
+    SELECT eid, 'alias-' || CAST(i + 3 AS STRING) FROM ents WHERE i % 6 = 0
+  )
+),
+edges AS (SELECT 'e:' || eid AS src, 'a:' || alias_norm AS dst FROM pairs),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, lbl) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+e_nodes AS (SELECT substr(node, 3) AS eid, comp FROM comp WHERE node LIKE 'e:%'),
+rep AS (SELECT comp, min(eid) AS canon_eid FROM e_nodes GROUP BY comp)
+SELECT e.eid, r.canon_eid FROM e_nodes e JOIN rep r USING (comp)
+ORDER BY eid
+"""
+
+
 def linked_oracle_sql(id_limit: int = 240) -> str:
     """est_oracle_sql + the link stage: normalized-alias LEFT joins against
     the dictionary twin (mirrors kg.link._norm / _prep_dict / left join)."""

@@ -31,12 +31,42 @@ neighbors to min(Γ⁻(u) ∪ {u}). At the fixpoint every edge is
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 class ConvergenceError(RuntimeError):
     """Raised when CC exhausts max_iter without reaching a fixpoint."""
+
+
+@contextmanager
+def _constraints_off(spark):
+    """Scope-disable Catalyst constraint propagation.
+
+    Spark 4.1's localCheckpoint keeps the origin plan's constraints on the
+    resulting LogicalRDD; when the pre-checkpoint plan was a projection
+    over a union+distinct, those constraints can reference attributes no
+    longer in any plan and PruneFilters dies with
+    `NoSuchElementException: key not found: dst#N` the first time the loop
+    filters over the self-union (reproduced minimally: range → union →
+    distinct → concat-projection → checkpoint → flip-union → join →
+    filter). Constraint propagation is a pure optimization (inferred
+    filters/join conditions), so turning it off inside the CC loop only
+    costs unplanned-but-correct plans; it is restored on exit. The config
+    is session-scoped, so a concurrent job thread may momentarily lose the
+    same optimization — never correctness."""
+    key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
@@ -59,6 +89,11 @@ def connected_components(
     ConvergenceError if `max_iter` rounds don't reach the fixpoint (at
     O(log n) convergence, 25 rounds covers any graph that fits on disk).
     """
+    with _constraints_off(edges.sparkSession):
+        return _cc_loop(edges, src, dst, max_iter)
+
+
+def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -107,7 +142,10 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
 
-    # fixpoint: every edge is (node, component-min); roots map to themselves
+    # fixpoint: every edge is (node, component-min); roots map to themselves.
+    # Materialized HERE (one cheap extra job over node-count rows) so the
+    # caller's downstream filters optimize over a clean LogicalRDD while
+    # constraint propagation is still scope-disabled.
     children = e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("comp")).distinct()
-    return children.union(roots).distinct()
+    return children.union(roots).distinct().localCheckpoint(eager=True)

@@ -93,3 +93,38 @@ def test_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
         got = {r.node: r.comp for r in connected_components(df).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_cc_over_union_distinct_projection_lineage(spark):
+    """Regression: Spark 4.1 constraint propagation through localCheckpoint
+    (LogicalRDD keeps origin constraints) crashes PruneFilters with
+    `key not found: dst#N` when the edges come from a concat-projection
+    over a union+distinct — exactly the canonicalize alias-graph shape.
+    connected_components scope-disables constraint propagation, so this
+    must run and produce the right clusters."""
+    from pyspark.sql import functions as F
+
+    b = spark.range(20)
+
+    def _al(expr):
+        return F.concat(F.lit("alias-"), expr.cast("string")).alias("alias")
+
+    d = b.select(F.col("id").cast("string").alias("eid"), _al(F.col("id"))).unionByName(
+        b.select(F.col("id").cast("string").alias("eid"), _al(F.col("id") - F.col("id") % 4))
+    )
+    pairs = d.select("eid", F.lower(F.trim(F.col("alias"))).alias("alias_norm")).distinct()
+    edges = pairs.select(
+        F.concat(F.lit("e:"), "eid").alias("src"),
+        F.concat(F.lit("a:"), "alias_norm").alias("dst"),
+    )
+    comps = connected_components(edges)
+    e_nodes = comps.filter(F.col("node").startswith("e:"))
+    got = {r.node[2:]: r.comp for r in e_nodes.collect()}
+    assert len(got) == 20
+    # entities {4k..4k+3} share alias-4k -> 5 clusters
+    assert len(set(got.values())) == 5
+    for i in range(20):
+        assert got[str(i)] == got[str(i - i % 4)]
+
+    # the conf guard restored the session default
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
