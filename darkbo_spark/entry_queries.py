@@ -808,6 +808,19 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rolling_fingerprints_x",
+    f"SELECT doc_id, {ta.sql_rolling_fingerprint('text')} AS rfp FROM documents",
+)
+def rolling_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-hash twin: the SAME Rabin-Karp fold with the md5-60
+    token hash, replayed value-for-value by the DuckDB oracle (xxhash64
+    form above stays the production path)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ta.rolling_fingerprint_portable(F.col("text")).alias("rfp")
+    )
+
+
+@_q(
     "bpe_token_counts",
     f"""
 SELECT doc_id, {ta.sql_token_count('text')} AS ws_tokens,
@@ -1693,6 +1706,86 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunks_oracle(id_limit: int, reps: int) -> str:
+    """DuckDB replay of reference_impl.create_chunks (1000-char windows,
+    100 overlap, end snapped to the LAST sentence boundary in the trailing
+    200 chars): a RECURSIVE CTE carries the chunk `start` cursor; the
+    last-boundary offset is the length of the greedy '(?s)^.*[.!?]\\s+'
+    match over the 200-char snap window (greedy ^.* pins the match to the
+    final boundary, exactly finditer()[-1].end()). Python strip() is
+    replayed as a whitespace-regex trim (DuckDB trim() drops spaces only).
+    The word-salad documents rows are short and unpunctuated, so the input
+    is `repeat(text || '. ', reps)` — long enough to chunk, with real
+    sentence boundaries to snap to — built by the same dialect-neutral
+    expression on the Spark side."""
+    snap = (
+        "length(regexp_extract(substr(text, start + 801, 200),"
+        " '(?s)^.*[.!?]\\s+', 0))"
+    )
+    end_snapped = (
+        f"CASE WHEN start + 1000 < n THEN"
+        f" CASE WHEN {snap} > 0 THEN start + 800 + {snap}"
+        f" ELSE start + 1000 END"
+        f" ELSE {{tail}} END"
+    )
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, repeat(text || '. ', {reps}) AS text
+  FROM documents WHERE doc_id < {id_limit}
+),
+d AS (SELECT doc_id, text, length(text) AS n FROM docs),
+rec(doc_id, text, n, start) AS (
+  SELECT doc_id, text, n, 0 FROM d WHERE n > 1000 AND text <> ''
+  UNION ALL
+  SELECT doc_id, text, n, greatest(start + 900, end_)
+  FROM (
+    SELECT doc_id, text, n, start,
+           ({end_snapped.format(tail="start + 1000")}) AS end_
+    FROM rec
+  )
+  WHERE greatest(start + 900, end_) < n
+),
+long_pieces AS (
+  SELECT doc_id, start,
+         regexp_replace(substr(text, start + 1,
+           ({end_snapped.format(tail="n")}) - start),
+           '^\\s+|\\s+$', '', 'g') AS piece
+  FROM rec
+),
+short_pieces AS (
+  SELECT doc_id, 0 AS start, text AS piece FROM d WHERE n <= 1000 AND text <> ''
+),
+all_pieces AS (
+  SELECT doc_id, start, piece FROM long_pieces WHERE piece <> ''
+  UNION ALL SELECT doc_id, start, piece FROM short_pieces
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_index,
+       piece AS chunk
+FROM all_pieces
+ORDER BY doc_id, chunk_index
+"""
+
+
+@_q("chunk_documents_x", _chunks_oracle(150, 7))
+def chunk_documents_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 driver-oracled: the REAL Arrow chunker UDF (byte-exact
+    reference_impl.create_chunks) over sentence-punctuated long text, vs
+    the recursive-CTE DuckDB replay — multi-chunk windows, overlap and
+    boundary snapping all hash-verified (the plain `chunk_documents` query
+    keeps the raw short rows, where chunking is the identity)."""
+    from darkbo_spark.functions.textnorm import create_chunks_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    long = docs.select(
+        "doc_id", F.expr("repeat(text || '. ', 7)").alias("text")
+    )
+    return long.select(
+        "doc_id",
+        F.posexplode(create_chunks_udf(F.col("text"))).alias("chunk_index", "chunk"),
+    ).withColumn("chunk_index", F.col("chunk_index").cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # Title derivation (P8)
 # ---------------------------------------------------------------------------
@@ -1748,6 +1841,52 @@ def clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding + multimodal operators (rows-only — deterministic-stub codecs;
 # plumbing verified in tests/test_multimodal.py and tests/test_embed.py)
 # ---------------------------------------------------------------------------
+
+_EMBED_X_ORACLE = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                x -> x <> '')) AS tok
+         FROM d),
+b AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 2)) AS INT) % 64 AS bdim,
+             SUM(CASE WHEN CAST(concat('0x', substr(md5(tok), 3, 2)) AS INT) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END) AS s
+      FROM toks GROUP BY doc_id, bdim),
+n AS (SELECT doc_id, sqrt(SUM(s * s)) AS norm FROM b GROUP BY doc_id),
+dims AS (SELECT d.doc_id, r.i AS dim FROM d, range(0, 64) r(i))
+SELECT dims.doc_id, dims.dim, round(COALESCE(b.s, 0) / n.norm, 6) AS val
+FROM dims JOIN n USING (doc_id)
+LEFT JOIN b ON b.doc_id = dims.doc_id AND b.bdim = dims.dim
+ORDER BY doc_id, dim
+"""
+
+
+@_q("embed_documents_x", _EMBED_X_ORACLE)
+def embed_documents_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 driver-oracled: the REAL scalar-iterator Arrow encode UDF, its
+    md5 hash-projection encoder replayed in DuckDB SQL (bucket = first md5
+    byte % 64, sign = second-byte parity, L2 normalize, round 6). The
+    array column is EXPLODED to (doc_id, dim, val) rows because the driver
+    canonicalizer rejects arrays; values re-round after the float32 cast
+    (float32 keeps ~1e-8 precision on [-1,1], so round( cast, 6) recovers
+    the encoder's 6dp decimal exactly). Sums are small integers in
+    doubles, so both engines' addition is exact regardless of order."""
+    from darkbo_spark.functions.embed import embed_udf
+
+    emb = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", embed_udf(F.col("text")).alias("embedding"))
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
 
 @_q("embed_documents")
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,23 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def rolling_fingerprint_portable(text: Column) -> Column:
+    """Cross-engine twin of rolling_fingerprint: same Rabin-Karp fold, the
+    token hash swapped xxhash64 → md5-60 (operators.dedup.portable_hash60)
+    so DuckDB replays the identical polynomial (sql_rolling_fingerprint).
+    Same overflow discipline: acc < P ≈ 2^31, acc·B + h < 2^52."""
+    from darkbo_spark.operators.dedup import portable_hash60
+
+    tok_hashes = F.transform(
+        tokens(text), lambda t: F.pmod(portable_hash60(t), F.lit(_ROLL_P))
+    )
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: F.pmod(acc * _ROLL_B + h, F.lit(_ROLL_P)),
+    )
+
+
 # ---- ANSI-SQL twins (DuckDB) ----------------------------------------------
 
 def sql_token_count(text: str) -> str:
@@ -145,3 +162,15 @@ def sql_quality_score(text: str) -> str:
 
 def sql_doc_fingerprint(text: str) -> str:
     return f"md5(regexp_replace(lower(trim({text})), '[{_WS}]+', ' ', 'g'))"
+
+
+def sql_rolling_fingerprint(text: str) -> str:
+    """DuckDB replay of rolling_fingerprint_portable: identical Rabin-Karp
+    fold (list_reduce seeded via a prepended 0) over md5-60 token hashes."""
+    ph = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    toks = f"list_filter(string_split_regex(lower({text}), ' +'), x -> x <> '')"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t -> {ph} % {_ROLL_P})), "
+        f"(acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_P})"
+    )
