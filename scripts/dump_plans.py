@@ -63,6 +63,11 @@ CHECKS = {
     # cell-partitioned IVF index scan ------------------------------------------
     "parsed_search_stored": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "ann_ivf_stored": ["PartitionFilters: [cell", "!CartesianProduct"],
+    # --- KG oracle twins: the real pipeline shapes — column-pruned parquet
+    # scan into the Arrow UDF stages (narrow maps, no shuffle before the
+    # explode), and both link lookups as broadcast joins of the triples side
+    "kg_triples_x": ["ArrowEvalPython", "ReadSchema: struct<doc_id:bigint>", "!Exchange"],
+    "kg_linked_x": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
 }
 
 
