@@ -839,7 +839,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("bpe_real_token_counts")  # rows-only: merge-loop not SQL-expressible;
+@_q("bpe_real_token_counts")  # rows-only: invariants in pytest; hash gate below
 def bpe_real_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merge-table BPE counts (Arrow UDF) next to the native regex
     pre-token count. Invariant carried in the output and asserted in
@@ -852,6 +852,87 @@ def bpe_real_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ta.bpe_token_count(F.col("text")).alias("pre_tokens"),
         count(F.col("text")).alias("bpe_tokens_real"),
+    )
+
+
+def _bpe_oracle(id_limit: int) -> str:
+    """The ACTUAL BPE merge loop replayed in DuckDB — a recursive CTE over
+    the per-word symbol state. Key encodings:
+
+    * a word's symbol list is a chr(1)-joined STRING, so "merge every
+      occurrence of the best pair, left to right, no rescan of the merged
+      token" is exactly SQL `replace(s, a||chr(1)||b, a||b)` (non-
+      overlapping left-to-right — _merge_word's semantics verbatim);
+    * the vendored merge table ships as a constant list of
+      'a'||chr(2)||'b' strings; a pair's rank is its list_position
+      (1-based, 0 = absent), and min over adjacent-pair positions is the
+      GPT-2 lowest-rank-first rule;
+    * recursion stops when no adjacent pair is in the table; each merge
+      shortens the string by exactly one byte, so the shortest state per
+      word IS the fixpoint;
+    * the DISTINCT-words inner loop mirrors the UDF's per-word LRU cache.
+    """
+    from darkbo_spark.functions.bpe import MERGES
+
+    sep = "chr(1)"
+    pairs_lit = (
+        "["
+        + ", ".join("'" + (a + "\x02" + b).replace("'", "''") + "'" for a, b in MERGES)
+        + "]"
+    )
+    pre_pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
+    pa = f"string_split({pairs_lit}[br], chr(2))[1]"
+    pb = f"string_split({pairs_lit}[br], chr(2))[2]"
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, text FROM documents WHERE doc_id < {id_limit}),
+pretoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pre_pat}')) AS w FROM d
+),
+words AS (SELECT DISTINCT w FROM pretoks),
+enc(w, s) AS (
+  SELECT w, array_to_string(string_split(w, ''), {sep}) FROM words
+  UNION ALL
+  SELECT w, replace(s, {pa} || {sep} || {pb}, {pa} || {pb})
+  FROM (
+    SELECT w, s,
+      list_min(list_filter(
+        list_transform(range(1, len(string_split(s, {sep}))),
+          i -> list_position({pairs_lit},
+                 string_split(s, {sep})[i] || chr(2) || string_split(s, {sep})[i+1])),
+        x -> x > 0)) AS br
+    FROM enc
+  )
+  WHERE br IS NOT NULL
+),
+final AS (
+  SELECT w, s FROM (
+    SELECT w, s, ROW_NUMBER() OVER (PARTITION BY w ORDER BY length(s) ASC) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+counts AS (SELECT w, len(string_split(s, {sep})) AS n FROM final)
+SELECT p.doc_id, CAST(SUM(c.n) AS BIGINT) AS bpe_tokens_real
+FROM pretoks p JOIN counts c USING (w)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@_q("bpe_real_token_counts_x", _bpe_oracle(300))
+def bpe_real_tokens_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE driver-oracled: the Arrow encode UDF (vendored merge table,
+    GPT-2 lowest-rank-first application) hash-verified against the
+    recursive-CTE merge-loop replay in _bpe_oracle."""
+    from darkbo_spark.functions.bpe import bpe_token_count_udf
+
+    count = bpe_token_count_udf()
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", count(F.col("text")).cast("bigint").alias("bpe_tokens_real")
+        )
     )
 
 
