@@ -1150,6 +1150,43 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
 
 
+def _simhash_sig_oracle(id_limit: int) -> str:
+    """Portable 60-bit SimHash SIGNATURES (the tf-weighted bit-vote packing
+    itself, not just the banded pairs) — the sims CTE of the pairs oracle,
+    projected directly."""
+    nbits = 60
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(nbits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS token
+  FROM documents WHERE doc_id < {id_limit}
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY doc_id, token
+), h AS (
+  SELECT doc_id, tf,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM tf
+), agg AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM agg
+ORDER BY doc_id
+"""
+
+
+@_q("simhash_docs_x", _simhash_sig_oracle(200))
+def simhash_docs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature computation itself hash-oracled in portable mode
+    (60-bit md5 hash; xxhash64 `simhash_docs` above stays production)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id", hash_mode="portable")
+
+
 # ---------------------------------------------------------------------------
 # Cross-engine-hash twins: the SAME MinHash-LSH / SimHash banding pipelines
 # with hash_mode="portable" (md5-60 instead of xxhash64), so DuckDB replays
@@ -2096,6 +2133,23 @@ def prebuild_query_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.5)
     return query_project(
         spark, out_dir, "900", "fast table scan with window agg", top_k=3
+    )
+
+
+from darkbo_spark.kg.oracle_twin import embed_candidates_oracle_sql  # noqa: E402
+
+
+@_q("embed_link_candidates_x", embed_candidates_oracle_sql(0.3, 6, 42))
+def embed_link_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_candidates driver-oracled end-to-end: real Arrow encoder +
+    sign-LSH bucketing (the seeded hyperplanes inline into the oracle as
+    literals, so DuckDB replays the identical buckets) + in-bucket cosine
+    argmax, against the SQL-replayable twin dictionary."""
+    from darkbo_spark.kg.link import embed_candidates
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict, twin_surfaces
+
+    return embed_candidates(
+        twin_surfaces(spark), twin_entity_dict(spark), min_cosine=0.3
     )
 
 

@@ -329,6 +329,118 @@ ORDER BY eid
 """
 
 
+TWIN_SURFACES = [
+    "the acme systems",
+    "stellar labs",
+    "quantum holdings inc",
+    "wei chen",
+    "berlin",
+    "vertex dynamics extra words",
+    "zzz unknown entity",
+]
+
+
+def twin_surfaces(spark: SparkSession) -> DataFrame:
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"surface": TWIN_SURFACES}))
+
+
+def _enc_cte(src: str, name_col: str) -> str:
+    """(name, vec) CTE chain: the A7 md5 hash-projection encoder replayed
+    in SQL, emitting each embedding as an ORDERED 64-element double list
+    (bucket sums are integer-valued ±1 votes, so every engine's addition
+    is exact; the list is built ordered-by-dim so dot products fold in the
+    same index order as Spark's aggregate)."""
+    return f"""
+enc_tok AS (
+  SELECT {name_col} AS name,
+         unnest(list_filter(string_split_regex(lower({name_col}),
+                '[ \t\n\r\f\v]+'), x -> x <> '')) AS tok
+  FROM {src}
+),
+enc_b AS (
+  SELECT name,
+         CAST(concat('0x', substr(md5(tok), 1, 2)) AS INT) % 64 AS bdim,
+         SUM(CASE WHEN CAST(concat('0x', substr(md5(tok), 3, 2)) AS INT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS s
+  FROM enc_tok GROUP BY name, bdim
+),
+enc_n AS (SELECT name, sqrt(SUM(s * s)) AS norm FROM enc_b GROUP BY name),
+enc_dims AS (SELECT t.name, r.i AS dim
+             FROM (SELECT DISTINCT name FROM enc_tok) t, range(0, 64) r(i)),
+enc_vec AS (
+  SELECT d.name,
+         list(round(COALESCE(b.s, 0) / n.norm, 6) ORDER BY d.dim) AS vec
+  FROM enc_dims d
+  JOIN enc_n n ON n.name = d.name
+  LEFT JOIN enc_b b ON b.name = d.name AND b.bdim = d.dim
+  GROUP BY d.name
+)"""
+
+
+def embed_candidates_oracle_sql(min_cosine: float, n_planes: int, seed: int) -> str:
+    """Full replay of kg.link.embed_candidates: encoder → sign-LSH bucket
+    (the seeded hyperplanes are Python-generated constants, so they inline
+    as literals — the SAME floats Spark uses) → cosine within colliding
+    buckets → argmax per surface. The >=0 sign tests and the cosine fold
+    run the identical IEEE-double index-order sums in both engines; only
+    the 6dp-rounded cosine reaches the hash."""
+    from darkbo_spark.operators.similarity import random_planes
+
+    planes = random_planes(64, n_planes, seed)
+    surf_vals = ", ".join(f"('{s}')" for s in TWIN_SURFACES)
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {plane_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH surfaces(surface) AS (VALUES {surf_vals}),
+s_norms AS (SELECT DISTINCT {norm.format(c='surface')} AS s_norm FROM surfaces),
+{_dict_sql().lstrip().rstrip()},
+d_norms AS (SELECT DISTINCT alias_norm, eid FROM (
+  SELECT regexp_replace(lower(trim(alias)), '^the ', '') AS alias_norm, eid
+  FROM dict
+)),
+names AS (
+  SELECT s_norm AS name FROM s_norms
+  UNION SELECT alias_norm FROM d_norms
+),
+{_enc_cte('names', 'name').lstrip()},
+vecs AS (SELECT name, vec FROM enc_vec
+         WHERE sqrt(list_dot_product(vec, vec)) > 0),
+surf AS (
+  SELECT s.s_norm, v.vec AS s_vec, {bucket.replace('vec,', 'v.vec,')} AS bucket
+  FROM s_norms s JOIN vecs v ON v.name = s.s_norm
+),
+dic AS (
+  SELECT d.alias_norm, d.eid, v.vec AS d_vec, {bucket.replace('vec,', 'v.vec,')} AS bucket
+  FROM d_norms d JOIN vecs v ON v.name = d.alias_norm
+),
+scored AS (
+  SELECT s.s_norm, dic.eid, dic.alias_norm,
+         round(list_dot_product(s.s_vec, dic.d_vec)
+               / (sqrt(list_dot_product(s.s_vec, s.s_vec))
+                  * sqrt(list_dot_product(dic.d_vec, dic.d_vec))), 6) AS cosine
+  FROM surf s JOIN dic ON s.bucket = dic.bucket
+),
+ranked AS (
+  SELECT s_norm, eid, alias_norm, cosine,
+         ROW_NUMBER() OVER (PARTITION BY s_norm
+                            ORDER BY cosine DESC, eid ASC, alias_norm ASC) AS rk
+  FROM scored WHERE cosine >= {min_cosine}
+)
+SELECT s_norm, eid, alias_norm, cosine FROM ranked WHERE rk = 1
+ORDER BY s_norm
+"""
+
+
 def linked_oracle_sql(id_limit: int = 240) -> str:
     """est_oracle_sql + the link stage: normalized-alias LEFT joins against
     the dictionary twin (mirrors kg.link._norm / _prep_dict / left join)."""
