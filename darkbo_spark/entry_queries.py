@@ -2319,12 +2319,13 @@ def kg_canonicalize_driver_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_entities(twin_alias_dict(spark), mode="driver")
 
 
-@_q("kg_linked_x", linked_oracle_sql(240))
-def kg_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_linked_twin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     from darkbo_spark.kg.link import link_entities
     from darkbo_spark.kg.oracle_twin import twin_entity_dict
 
-    linked = link_entities(_twin_raw(spark, sf_dir), twin_entity_dict(spark))
+    linked = link_entities(
+        _twin_raw(spark, sf_dir), twin_entity_dict(spark), strategy=strategy
+    )
     return linked.select(
         "url",
         F.col("sent_idx").cast("bigint").alias("sent_idx"),
@@ -2334,3 +2335,16 @@ def kg_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subj_eid",
         "obj_eid",
     )
+
+
+@_q("kg_linked_x", linked_oracle_sql(240))
+def kg_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kg_linked_twin(spark, sf_dir, "broadcast")
+
+
+@_q("kg_linked_salted_x", linked_oracle_sql(240))
+def kg_linked_salted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED skew-defeating link strategy against the SAME oracle —
+    broadcast ≡ salted ≡ DuckDB replay is now a driver hash fact, not
+    just the pytest equality assertion."""
+    return _kg_linked_twin(spark, sf_dir, "salted")
