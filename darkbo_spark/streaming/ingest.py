@@ -130,6 +130,7 @@ def stream_pages_to_linked_triples(
     checkpoint_path: str,
     entity_dict: DataFrame,
     link_strategy: str = "broadcast",
+    max_files_per_trigger: int = 4,
 ):
     """Streaming twin of the FULL KG pipeline's per-page path: each
     micro-batch of landed pages runs extract → segment → triples → entity
@@ -145,7 +146,11 @@ def stream_pages_to_linked_triples(
 
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        # micro-batch size = the latency/throughput knob: small batches
+        # cut landed-to-linked latency, big batches amortize per-batch
+        # fixed costs toward batch-job throughput (measured sweep in
+        # BENCH/BASELINE.md via scripts/bench_streaming.py)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
 
