@@ -859,30 +859,39 @@ def _bpe_oracle(id_limit: int) -> str:
     """The ACTUAL BPE merge loop replayed in DuckDB — a recursive CTE over
     the per-word symbol state. Key encodings:
 
-    * a word's symbol list is a chr(1)-joined STRING, so "merge every
-      occurrence of the best pair, left to right, no rescan of the merged
-      token" is exactly SQL `replace(s, a||chr(1)||b, a||b)` (non-
-      overlapping left-to-right — _merge_word's semantics verbatim);
+    * a word's symbol list is a STRING of chr(2)||sym||chr(3) cells, so
+      "merge every occurrence of the best pair, left to right, no rescan
+      of the merged token" is exactly SQL
+      `replace(s, ␂pa␃␂pb␃, ␂papb␃)`: the needle spans two WHOLE cells
+      (a symbol merely ending in pa / starting in pb cannot match — the
+      markers intervene) and adjacent occurrences share no characters,
+      so plain non-overlapping left-to-right replace IS _merge_word.
+      (A bare chr(1)-joined encoding fails BOTH ways: `a\\x01b` matches
+      inside ('xa','by') neighbours, and chained occurrences share their
+      delimiter so replace drops every second merge — caught by fuzzing
+      against the Python encoder.)
     * the vendored merge table ships as a constant list of
-      'a'||chr(2)||'b' strings; a pair's rank is its list_position
+      'pa'||chr(4)||'pb' strings; a pair's rank is its list_position
       (1-based, 0 = absent), and min over adjacent-pair positions is the
       GPT-2 lowest-rank-first rule;
     * recursion stops when no adjacent pair is in the table; each merge
-      shortens the string by exactly one byte, so the shortest state per
-      word IS the fixpoint;
+      shrinks the string by exactly two marker bytes, so the shortest
+      state per word IS the fixpoint;
     * the DISTINCT-words inner loop mirrors the UDF's per-word LRU cache.
     """
     from darkbo_spark.functions.bpe import MERGES
 
-    sep = "chr(1)"
     pairs_lit = (
         "["
-        + ", ".join("'" + (a + "\x02" + b).replace("'", "''") + "'" for a, b in MERGES)
+        + ", ".join("'" + (a + "\x04" + b).replace("'", "''") + "'" for a, b in MERGES)
         + "]"
     )
     pre_pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
-    pa = f"string_split({pairs_lit}[br], chr(2))[1]"
-    pb = f"string_split({pairs_lit}[br], chr(2))[2]"
+    pa = f"string_split({pairs_lit}[br], chr(4))[1]"
+    pb = f"string_split({pairs_lit}[br], chr(4))[2]"
+    # symbol list from the cell string: strip the outer markers, split on
+    # the inter-cell boundary chr(3)||chr(2)
+    syms = "string_split(trim(s, chr(2) || chr(3)), chr(3) || chr(2))"
     return f"""
 WITH RECURSIVE
 d AS (SELECT doc_id, text FROM documents WHERE doc_id < {id_limit}),
@@ -891,15 +900,19 @@ pretoks AS (
 ),
 words AS (SELECT DISTINCT w FROM pretoks),
 enc(w, s) AS (
-  SELECT w, array_to_string(string_split(w, ''), {sep}) FROM words
+  SELECT w, array_to_string(list_transform(string_split(w, ''),
+                            c -> chr(2) || c || chr(3)), '')
+  FROM words
   UNION ALL
-  SELECT w, replace(s, {pa} || {sep} || {pb}, {pa} || {pb})
+  SELECT w, replace(s,
+                    chr(2) || {pa} || chr(3) || chr(2) || {pb} || chr(3),
+                    chr(2) || {pa} || {pb} || chr(3))
   FROM (
     SELECT w, s,
       list_min(list_filter(
-        list_transform(range(1, len(string_split(s, {sep}))),
+        list_transform(range(1, len({syms})),
           i -> list_position({pairs_lit},
-                 string_split(s, {sep})[i] || chr(2) || string_split(s, {sep})[i+1])),
+                 {syms}[i] || chr(4) || {syms}[i+1])),
         x -> x > 0)) AS br
     FROM enc
   )
@@ -911,7 +924,7 @@ final AS (
     FROM enc
   ) WHERE rn = 1
 ),
-counts AS (SELECT w, len(string_split(s, {sep})) AS n FROM final)
+counts AS (SELECT w, len({syms}) AS n FROM final)
 SELECT p.doc_id, CAST(SUM(c.n) AS BIGINT) AS bpe_tokens_real
 FROM pretoks p JOIN counts c USING (w)
 GROUP BY p.doc_id
@@ -1960,36 +1973,27 @@ def clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plumbing verified in tests/test_multimodal.py and tests/test_embed.py)
 # ---------------------------------------------------------------------------
 
-_EMBED_X_ORACLE = r"""
+def _embed_x_oracle() -> str:
+    from darkbo_spark.kg.oracle_twin import enc_cte
+
+    return f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-toks AS (SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
-                x -> x <> '')) AS tok
-         FROM d),
-b AS (SELECT doc_id,
-             CAST(concat('0x', substr(md5(tok), 1, 2)) AS INT) % 64 AS bdim,
-             SUM(CASE WHEN CAST(concat('0x', substr(md5(tok), 3, 2)) AS INT) % 2 = 0
-                      THEN 1.0 ELSE -1.0 END) AS s
-      FROM toks GROUP BY doc_id, bdim),
-n AS (SELECT doc_id, sqrt(SUM(s * s)) AS norm FROM b GROUP BY doc_id),
-dims AS (SELECT d.doc_id, r.i AS dim FROM d, range(0, 64) r(i))
-SELECT dims.doc_id, dims.dim, round(COALESCE(b.s, 0) / n.norm, 6) AS val
-FROM dims JOIN n USING (doc_id)
-LEFT JOIN b ON b.doc_id = dims.doc_id AND b.bdim = dims.dim
+{enc_cte('d', 'doc_id', 'text', quantize=True).lstrip()}
+SELECT key AS doc_id, dim, val FROM enc_cell
 ORDER BY doc_id, dim
 """
 
 
-@_q("embed_documents_x", _EMBED_X_ORACLE)
+@_q("embed_documents_x", _embed_x_oracle())
 def embed_documents_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 driver-oracled: the REAL scalar-iterator Arrow encode UDF, its
-    md5 hash-projection encoder replayed in DuckDB SQL (bucket = first md5
-    byte % 64, sign = second-byte parity, L2 normalize, round 6). The
-    array column is EXPLODED to (doc_id, dim, val) rows because the driver
-    canonicalizer rejects arrays; values re-round after the float32 cast
-    (float32 keeps ~1e-8 precision on [-1,1], so round( cast, 6) recovers
-    the encoder's 6dp decimal exactly). Sums are small integers in
-    doubles, so both engines' addition is exact regardless of order."""
+    """A7 driver-oracled: the REAL scalar-iterator Arrow encode UDF vs the
+    ONE shared SQL replay of the md5 hash-projection encoder
+    (kg/oracle_twin.enc_cte — bucket = first md5 byte % 64, sign =
+    second-byte parity, L2 normalize, round 6, then float32 quantization
+    exactly as the Spark float→double cast applies it). The array column
+    is EXPLODED to (doc_id, dim, val) rows because the driver
+    canonicalizer rejects arrays; with the quantization replayed the
+    compared doubles are BIT-identical, no re-rounding needed."""
     from darkbo_spark.functions.embed import embed_udf
 
     emb = (
@@ -2002,7 +2006,7 @@ def embed_documents_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("dim").cast("bigint").alias("dim"),
-        F.round(F.col("v").cast("double"), 6).alias("val"),
+        F.col("v").cast("double").alias("val"),
     )
 
 

@@ -346,36 +346,48 @@ def twin_surfaces(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame({"surface": TWIN_SURFACES}))
 
 
-def _enc_cte(src: str, name_col: str) -> str:
-    """(name, vec) CTE chain: the A7 md5 hash-projection encoder replayed
-    in SQL, emitting each embedding as an ORDERED 64-element double list
-    (bucket sums are integer-valued ±1 votes, so every engine's addition
-    is exact; the list is built ordered-by-dim so dot products fold in the
-    same index order as Spark's aggregate)."""
+def enc_cte(src: str, key_col: str, text_col: str, quantize: bool = False) -> str:
+    """Shared (key, vec/val) CTE chain — the ONE SQL replay of the A7 md5
+    hash-projection encoder (functions/embed._HashEncoder): tokenize on
+    whitespace runs, bucket = first md5 byte % 64, sign = second-byte
+    parity, L2 normalize, round 6. Emits `enc_cell` (key, dim, val) and
+    `enc_vec` (key, vec) — an ORDERED 64-element double list, so dot
+    products fold in the same index order as Spark's aggregate, and the
+    integer-valued ±1 vote sums make every engine's addition exact.
+
+    `quantize=True` additionally replays the float32 quantization the
+    Spark pipeline applies when it casts the UDF's array<float> output
+    back to double (`::FLOAT::DOUBLE`): consumers that feed the vectors
+    into further float math (LSH sign tests, cosine) need bit-identical
+    inputs, not merely 6dp-close ones."""
+    val = "round(COALESCE(b.s, 0) / n.norm, 6)"
+    if quantize:
+        val = f"CAST(CAST({val} AS FLOAT) AS DOUBLE)"
     return f"""
 enc_tok AS (
-  SELECT {name_col} AS name,
-         unnest(list_filter(string_split_regex(lower({name_col}),
+  SELECT {key_col} AS key,
+         unnest(list_filter(string_split_regex(lower({text_col}),
                 '[ \t\n\r\f\v]+'), x -> x <> '')) AS tok
   FROM {src}
 ),
 enc_b AS (
-  SELECT name,
+  SELECT key,
          CAST(concat('0x', substr(md5(tok), 1, 2)) AS INT) % 64 AS bdim,
          SUM(CASE WHEN CAST(concat('0x', substr(md5(tok), 3, 2)) AS INT) % 2 = 0
                   THEN 1.0 ELSE -1.0 END) AS s
-  FROM enc_tok GROUP BY name, bdim
+  FROM enc_tok GROUP BY key, bdim
 ),
-enc_n AS (SELECT name, sqrt(SUM(s * s)) AS norm FROM enc_b GROUP BY name),
-enc_dims AS (SELECT t.name, r.i AS dim
-             FROM (SELECT DISTINCT name FROM enc_tok) t, range(0, 64) r(i)),
-enc_vec AS (
-  SELECT d.name,
-         list(round(COALESCE(b.s, 0) / n.norm, 6) ORDER BY d.dim) AS vec
+enc_n AS (SELECT key, sqrt(SUM(s * s)) AS norm FROM enc_b GROUP BY key),
+enc_dims AS (SELECT t.key, r.i AS dim
+             FROM (SELECT DISTINCT key FROM enc_tok) t, range(0, 64) r(i)),
+enc_cell AS (
+  SELECT d.key, d.dim, {val} AS val
   FROM enc_dims d
-  JOIN enc_n n ON n.name = d.name
-  LEFT JOIN enc_b b ON b.name = d.name AND b.bdim = d.dim
-  GROUP BY d.name
+  JOIN enc_n n ON n.key = d.key
+  LEFT JOIN enc_b b ON b.key = d.key AND b.bdim = d.dim
+),
+enc_vec AS (
+  SELECT key, list(val ORDER BY dim) AS vec FROM enc_cell GROUP BY key
 )"""
 
 
@@ -383,9 +395,12 @@ def embed_candidates_oracle_sql(min_cosine: float, n_planes: int, seed: int) -> 
     """Full replay of kg.link.embed_candidates: encoder → sign-LSH bucket
     (the seeded hyperplanes are Python-generated constants, so they inline
     as literals — the SAME floats Spark uses) → cosine within colliding
-    buckets → argmax per surface. The >=0 sign tests and the cosine fold
-    run the identical IEEE-double index-order sums in both engines; only
-    the 6dp-rounded cosine reaches the hash."""
+    buckets → argmax per surface. The encoder CTE runs with
+    quantize=True: Spark's pipeline casts the UDF's array<float> output
+    to double, so the oracle replays that float32 quantization
+    (::FLOAT::DOUBLE) and every downstream sum — plane sign tests AND the
+    cosine fold — is computed over BIT-IDENTICAL inputs in index order in
+    both engines, with no near-boundary fragility."""
     from darkbo_spark.operators.similarity import random_planes
 
     planes = random_planes(64, n_planes, seed)
@@ -396,7 +411,7 @@ def embed_candidates_oracle_sql(min_cosine: float, n_planes: int, seed: int) -> 
         return "[" + ", ".join(repr(x) for x in p) + "]"
 
     bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(vec, {plane_lit(p)}) >= 0"
+        f"(CASE WHEN list_dot_product(v.vec, {plane_lit(p)}) >= 0"
         f" THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
@@ -412,15 +427,15 @@ names AS (
   SELECT s_norm AS name FROM s_norms
   UNION SELECT alias_norm FROM d_norms
 ),
-{_enc_cte('names', 'name').lstrip()},
-vecs AS (SELECT name, vec FROM enc_vec
+{enc_cte('names', 'name', 'name', quantize=True).lstrip()},
+vecs AS (SELECT key AS name, vec FROM enc_vec
          WHERE sqrt(list_dot_product(vec, vec)) > 0),
 surf AS (
-  SELECT s.s_norm, v.vec AS s_vec, {bucket.replace('vec,', 'v.vec,')} AS bucket
+  SELECT s.s_norm, v.vec AS s_vec, {bucket} AS bucket
   FROM s_norms s JOIN vecs v ON v.name = s.s_norm
 ),
 dic AS (
-  SELECT d.alias_norm, d.eid, v.vec AS d_vec, {bucket.replace('vec,', 'v.vec,')} AS bucket
+  SELECT d.alias_norm, d.eid, v.vec AS d_vec, {bucket} AS bucket
   FROM d_norms d JOIN vecs v ON v.name = d.alias_norm
 ),
 scored AS (

@@ -114,3 +114,35 @@ def test_driver_query_invariant(spark, sf_dir=None):
         | (F.col("bpe_tokens_real") < F.col("pre_tokens"))
     )
     assert bad.count() == 0
+
+
+def test_bpe_oracle_replay_on_adversarial_words():
+    """Regression for the review-caught merge-encoding bug: a bare
+    chr(1)-joined symbol string lets `replace()` fuse a pair whose left
+    symbol merely ENDS with pa (e.g. 'rlaneandd' at the ('a','n') step,
+    where ('a','nd') neighbours the match) and drops every second merge
+    in chained runs ('aaaa'). The cell-delimited encoding must track the
+    Python encoder exactly on such inputs."""
+    import random
+
+    import duckdb
+
+    from darkbo_spark.entry_queries import _bpe_oracle
+    from darkbo_spark.functions.bpe import bpe_token_count_py
+
+    words = ["rlaneandd", "aaaa", "thethethe", "andandand", "eeee", "eeeeeeee"]
+    rng = random.Random(7)
+    alpha = "theandingscorplw"
+    words += [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 14)))
+        for _ in range(200)
+    ]
+    texts = [" ".join(words[i::5]) for i in range(5)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = [(a, int(b)) for a, b in con.execute(_bpe_oracle(5)).fetchall()]
+    want = [(i, bpe_token_count_py(t)) for i, t in enumerate(texts)]
+    assert got == want
