@@ -2,20 +2,31 @@
 metadata, with decode / feature-extract / resize / frame-sample implemented
 as Arrow-batched operators over `mapInPandas`.
 
-The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested. The codec calls themselves are STUBBED behind
-a deterministic fake format (no image/audio libraries ship in this
-container): payloads beginning with the magic ``FAKE{KIND}`` carry a tiny
-parseable header; anything else raises NotImplementedError at the exact
-seam where Pillow / torchaudio / pyav would plug in. Swapping in a real
-decoder changes ONLY `_decode_header` / `_decode_pixels` — the distributed
-plan is already the production one (reference analog: binary attachments
-stored and served opaque, api/storage.py:133-142).
+Codec status — real where a format needs no external library, stubbed at a
+documented seam where it does:
+
+* **BMP images (REAL)** — 24-bit uncompressed BMP is a fixed header + raw
+  BGR rows; decode, luminance features, and nearest-neighbor resize are
+  implemented here with `struct` alone. No Pillow needed.
+* **WAV audio (REAL)** — RIFF/WAVE PCM decodes with the stdlib `wave`
+  module; frame counts, sample rate, channels, and magnitude-histogram
+  features are computed from real samples.
+* **Video + compressed formats (STUBBED)** — there is no dependency-free
+  real video container, and JPEG/PNG/MP4 need Pillow/pyav. Those payloads
+  use the deterministic ``FAKE`` format (magic + parseable header) or
+  raise NotImplementedError at the exact seam where the real decoder
+  plugs in (`_decode_header` / the per-format branches).
+
+The distributed plan — schemas, partitioning, Arrow batch shapes, explode
+math — is the production one regardless of codec (reference analog: binary
+attachments stored and served opaque, api/storage.py:133-142).
 """
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 from typing import Iterator
 
 import pandas as pd
@@ -44,6 +55,84 @@ MEDIA_SCHEMA = StructType(
 _MAGIC = b"FAKE"
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs: BMP (struct only) and WAV (stdlib wave)
+# ---------------------------------------------------------------------------
+
+
+def make_bmp_payload(media_id: int) -> bytes:
+    """A real, openable 24-bit uncompressed BMP with deterministic pixels."""
+    w, h = 16 + (media_id % 48), 16 + ((media_id * 7) % 32)
+    row_pad = (-3 * w) % 4
+    rows = bytearray()
+    for y in range(h):  # BMP stores rows bottom-up
+        for x in range(w):
+            rows += bytes(
+                (
+                    (media_id * 5 + x * 3 + y * 7) % 256,  # B
+                    (media_id * 11 + x * 13 + y) % 256,  # G
+                    (media_id * 17 + x + y * 19) % 256,  # R
+                )
+            )
+        rows += b"\x00" * row_pad
+    pixel_bytes = bytes(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    return file_header + info + pixel_bytes
+
+
+def _bmp_dims(payload: bytes) -> tuple[int, int, int]:
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    return w, abs(h), struct.unpack_from("<I", payload, 10)[0]  # offset
+
+
+def _bmp_pixels(payload: bytes):
+    """Yield (x, y, b, g, r) over the real pixel array (bottom-up rows)."""
+    w, h, off = _bmp_dims(payload)
+    stride = 3 * w + ((-3 * w) % 4)
+    for y in range(h):
+        base = off + y * stride
+        for x in range(w):
+            i = base + 3 * x
+            yield x, y, payload[i], payload[i + 1], payload[i + 2]
+
+
+def make_wav_payload(media_id: int) -> bytes:
+    """A real RIFF/WAVE 16-bit PCM blob with deterministic samples."""
+    n_channels = 1 + media_id % 2
+    framerate = 8000 + (media_id % 5) * 2000
+    n_frames = 400 + (media_id % 37) * 8
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(n_channels)
+        wv.setsampwidth(2)
+        wv.setframerate(framerate)
+        samples = bytearray()
+        for i in range(n_frames * n_channels):
+            samples += struct.pack("<h", ((media_id * 31 + i * 17) % 65536) - 32768)
+        wv.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def _wav_info(payload: bytes) -> tuple[int, int, int]:
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        return wv.getnchannels(), wv.getframerate(), wv.getnframes()
+
+
+def _wav_samples(payload: bytes) -> list[int]:
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        raw = wv.readframes(wv.getnframes())
+    return [s[0] for s in struct.iter_unpack("<h", raw)]
+
+
+# ---------------------------------------------------------------------------
+# FAKE format (video + anything a real library would be needed for)
+# ---------------------------------------------------------------------------
+
+
 def make_fake_payload(kind: str, media_id: int) -> bytes:
     """Deterministic fake media blob: magic + header + pseudo-content."""
     w, h = 16 + (media_id % 48), 16 + ((media_id * 7) % 32)
@@ -54,7 +143,9 @@ def make_fake_payload(kind: str, media_id: int) -> bytes:
 
 
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic media table (distributed generation, per-row seeded)."""
+    """Deterministic media table (distributed generation, per-row seeded):
+    image rows carry REAL BMPs, audio rows REAL WAVs, video rows the FAKE
+    container (the one kind with no dependency-free real format)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -63,11 +154,17 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             for i in b["id"]:
                 i = int(i)
                 kind = kinds[(i + seed) % 3]
+                if kind == "image":
+                    payload = make_bmp_payload(i)
+                elif kind == "audio":
+                    payload = make_wav_payload(i)
+                else:
+                    payload = make_fake_payload(kind, i)
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
-                        "payload": make_fake_payload(kind, i),
+                        "payload": payload,
                         "source_url": f"https://media.example.com/{kind}/{i}",
                     }
                 )
@@ -78,15 +175,36 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
-def _decode_header(payload: bytes) -> tuple[int, int, int]:
-    """THE decode seam. Real formats (JPEG/PNG/WAV/MP4) plug in here."""
-    if payload is None or not payload.startswith(_MAGIC):
-        raise NotImplementedError(
-            "real media decoding requires Pillow/pyav — not available in "
-            "this container; only the deterministic FAKE format is decoded"
-        )
-    w, h, frames = struct.unpack(">III", payload[5:17])
-    return w, h, frames
+def _decode_header(payload: bytes) -> dict:
+    """THE decode seam — dispatches on real magic bytes.
+
+    Returns {width, height, n_frames, sample_rate, n_channels} with None
+    for fields a format doesn't have. JPEG/PNG/MP4 raise here: that is
+    exactly where Pillow / pyav would plug in."""
+    if payload is None:
+        raise NotImplementedError("null payload")
+    if payload[:2] == b"BM":  # real BMP
+        w, h, _ = _bmp_dims(payload)
+        return {
+            "width": w, "height": h, "n_frames": 1,
+            "sample_rate": None, "n_channels": None,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":  # real WAV
+        ch, rate, frames = _wav_info(payload)
+        return {
+            "width": None, "height": None, "n_frames": frames,
+            "sample_rate": rate, "n_channels": ch,
+        }
+    if payload.startswith(_MAGIC):
+        w, h, frames = struct.unpack(">III", payload[5:17])
+        return {
+            "width": w, "height": h, "n_frames": frames,
+            "sample_rate": None, "n_channels": None,
+        }
+    raise NotImplementedError(
+        "decoding this format requires Pillow/pyav — not available in this "
+        "container; BMP, WAV and the deterministic FAKE format are decoded"
+    )
 
 
 DECODED_SCHEMA = StructType(
@@ -96,6 +214,8 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
         StructField("n_bytes", LongType()),
     ]
 )
@@ -108,15 +228,13 @@ def decode_metadata(media: DataFrame) -> DataFrame:
         for b in batches:
             out = []
             for r in b.itertuples():
-                w, h, fr = _decode_header(bytes(r.payload))
+                meta = _decode_header(bytes(r.payload))
                 out.append(
                     {
                         "media_id": r.media_id,
                         "kind": r.kind,
-                        "width": w,
-                        "height": h,
-                        "n_frames": fr,
                         "n_bytes": len(r.payload),
+                        **meta,
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
@@ -127,21 +245,32 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 _FEAT_DIM = 16
 
 
-def byte_histogram_features(media: DataFrame) -> DataFrame:
-    """Feature extraction: 16-bin normalized byte histogram of the content
-    region — the stand-in for a real CNN/audio embedding; batch shape and
-    schema identical to the production operator."""
+def content_features(media: DataFrame) -> DataFrame:
+    """Feature extraction from REAL content where the codec is real:
+    16-bin luminance histogram over decoded BMP pixels, 16-bin sample-
+    magnitude histogram over decoded WAV frames, byte histogram for the
+    FAKE container — all L1-normalized. The stand-in for a CNN/audio
+    embedding; batch shape and schema identical to the production
+    operator."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def feat(payload: pd.Series) -> pd.Series:
         def one(p: bytes | None):
-            if p is None or not p.startswith(_MAGIC):
-                raise NotImplementedError("real feature extraction stubbed")
-            body = p[17:]
+            if p is None:
+                raise NotImplementedError("null payload")
             bins = [0] * _FEAT_DIM
-            for byte in body:
-                bins[byte >> 4] += 1
-            total = max(len(body), 1)
+            if p[:2] == b"BM":
+                for _, _, bb, gg, rr in _bmp_pixels(p):
+                    bins[((bb + gg + rr) // 3) >> 4] += 1
+            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                for s in _wav_samples(p):
+                    bins[min(abs(s), 32767) >> 11] += 1
+            elif p.startswith(_MAGIC):
+                for byte in p[17:]:
+                    bins[byte >> 4] += 1
+            else:
+                raise NotImplementedError("real feature extraction stubbed")
+            total = max(sum(bins), 1)
             return [round(c / total, 6) for c in bins]
 
         return payload.map(one)
@@ -149,10 +278,14 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", feat(F.col("payload")).alias("features"))
 
 
+# kept under its historical name for callers/tests
+byte_histogram_features = content_features
+
+
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame sampling for video rows: explode frame indices 0..n_frames-1,
-    keep every k-th. Frame decode itself is the stubbed seam; index math
-    and explode are the real distributed plan."""
+    keep every k-th. Video frame decode itself is the stubbed seam; index
+    math and explode are the real distributed plan."""
     decoded = decode_metadata(media.filter(F.col("kind") == "video"))
     frames = decoded.select(
         "media_id",
@@ -161,18 +294,53 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     return frames.filter(F.pmod(F.col("frame_idx"), F.lit(every_k)) == 0)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through the Arrow batch path and
-    rewrites the header dims (real pixel resample is the stubbed seam)."""
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize through the Arrow batch path. BMP rows are REALLY resampled
+    (nearest neighbor over the decoded pixel array — output is a valid BMP
+    of the new dimensions); FAKE rows rewrite the header (the seam where a
+    real video scaler would run); audio rows pass through untouched."""
 
     @F.pandas_udf(BinaryType())
     def resize(payload: pd.Series) -> pd.Series:
         def one(p: bytes | None):
-            if p is None or not p.startswith(_MAGIC):
-                raise NotImplementedError("real resize stubbed")
-            _, _, frames = struct.unpack(">III", p[5:17])
-            return p[:5] + struct.pack(">III", width, height, frames) + p[17:]
+            if p is None:
+                raise NotImplementedError("null payload")
+            if p[:2] == b"BM":
+                return _resize_bmp(p, width, height)
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                return p
+            if p.startswith(_MAGIC):
+                _, _, frames = struct.unpack(">III", p[5:17])
+                return p[:5] + struct.pack(">III", width, height, frames) + p[17:]
+            raise NotImplementedError("real resize stubbed for this format")
 
         return payload.map(one)
 
     return media.withColumn("payload", resize(F.col("payload")))
+
+
+# legacy name
+resize_stub = resize_media
+
+
+def _resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of a 24-bit BMP, pure bytes math."""
+    w, h, off = _bmp_dims(payload)
+    src_stride = 3 * w + ((-3 * w) % 4)
+    dst_pad = (-3 * new_w) % 4
+    rows = bytearray()
+    for y in range(new_h):
+        sy = min(y * h // new_h, h - 1)
+        base = off + sy * src_stride
+        for x in range(new_w):
+            sx = min(x * w // new_w, w - 1)
+            i = base + 3 * sx
+            rows += payload[i : i + 3]
+        rows += b"\x00" * dst_pad
+    pixel_bytes = bytes(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, new_w, new_h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    return file_header + info + pixel_bytes
