@@ -124,3 +124,30 @@ def test_twin_dict_eids_are_content_addressed(spark):
     assert any(a.startswith("The ") for a in some)
     # uuid5 ids are NOT cross-engine; sha256 eids are 32 hex chars
     assert all(len(e) == 32 and e != uuid5_id("entity", "x") for e in by_eid)
+
+
+def test_clean_and_segment_replay_property(duck):
+    """Property check beyond the constructed corpus: for arbitrary messy
+    ASCII text, the RE2 SQL replay of clean_text + split_sentences equals
+    the Python reference byte-for-byte. Excluded by design: \\x0b (Python
+    \\s includes vertical tab, RE2's does not — the documented ASCII-domain
+    ground rule) and non-ASCII (Python \\w is unicode)."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(
+        list("abcXYZ019 .!?,;:-()[]\"'/@#$%*\t\n") + ["...", "----", " .", "!?", ".  "]
+    )
+    texts = st.lists(alphabet, min_size=0, max_size=60).map("".join)
+
+    @settings(max_examples=80, deadline=None)
+    @given(texts)
+    def check(text):
+        lit = "'" + text.replace("'", "''") + "'"
+        cleaned, sents = duck.execute(
+            f"SELECT {clean_sql(lit)}, {sentences_sql(clean_sql(lit))}"
+        ).fetchone()
+        py_clean = clean_text(text)
+        assert cleaned == py_clean, repr(text)
+        assert sents == split_sentences(py_clean), repr(text)
+
+    check()
