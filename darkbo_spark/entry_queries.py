@@ -877,7 +877,11 @@ def _bpe_oracle(id_limit: int) -> str:
     * recursion stops when no adjacent pair is in the table; each merge
       shrinks the string by exactly two marker bytes, so the shortest
       state per word IS the fixpoint;
-    * the DISTINCT-words inner loop mirrors the UDF's per-word LRU cache.
+    * the DISTINCT-words inner loop mirrors the UDF's per-word LRU cache;
+    * documents containing the marker bytes \\x02-\\x04 are EXCLUDED BY
+      BOTH ENGINES (identical regex filter): such bytes would forge cell
+      boundaries in this oracle's encoding. The exclusion is part of the
+      query contract, not a silent assumption.
     """
     from darkbo_spark.functions.bpe import MERGES
 
@@ -894,7 +898,9 @@ def _bpe_oracle(id_limit: int) -> str:
     syms = "string_split(trim(s, chr(2) || chr(3)), chr(3) || chr(2))"
     return f"""
 WITH RECURSIVE
-d AS (SELECT doc_id, text FROM documents WHERE doc_id < {id_limit}),
+d AS (SELECT doc_id, text FROM documents
+      WHERE doc_id < {id_limit}
+        AND NOT regexp_matches(text, '[\\x02-\\x04]')),
 pretoks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{pre_pat}')) AS w FROM d
 ),
@@ -943,6 +949,8 @@ def bpe_real_tokens_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
+        # mirror of the oracle's marker-byte exclusion (see _bpe_oracle)
+        .filter(~F.col("text").rlike("[\\x02-\\x04]"))
         .select(
             "doc_id", count(F.col("text")).cast("bigint").alias("bpe_tokens_real")
         )

@@ -359,8 +359,14 @@ def enc_cte(src: str, key_col: str, text_col: str, quantize: bool = False) -> st
     Spark pipeline applies when it casts the UDF's array<float> output
     back to double (`::FLOAT::DOUBLE`): consumers that feed the vectors
     into further float math (LSH sign tests, cosine) need bit-identical
-    inputs, not merely 6dp-close ones."""
-    val = "round(COALESCE(b.s, 0) / n.norm, 6)"
+    inputs, not merely 6dp-close ones.
+
+    Degenerate inputs follow _HashEncoder exactly: a token-free text and
+    a sign-cancelling text both emit the 64-dim ZERO vector (the
+    encoder's `norm or 1.0` guard) — keys therefore come from `src`, not
+    from the tokenized rows, and the norm divisor is guarded."""
+    norm = "(CASE WHEN COALESCE(n.norm, 0) > 0 THEN n.norm ELSE 1.0 END)"
+    val = f"round(COALESCE(b.s, 0) / {norm}, 6)"
     if quantize:
         val = f"CAST(CAST({val} AS FLOAT) AS DOUBLE)"
     return f"""
@@ -379,11 +385,12 @@ enc_b AS (
 ),
 enc_n AS (SELECT key, sqrt(SUM(s * s)) AS norm FROM enc_b GROUP BY key),
 enc_dims AS (SELECT t.key, r.i AS dim
-             FROM (SELECT DISTINCT key FROM enc_tok) t, range(0, 64) r(i)),
+             FROM (SELECT DISTINCT {key_col} AS key FROM {src}) t,
+                  range(0, 64) r(i)),
 enc_cell AS (
   SELECT d.key, d.dim, {val} AS val
   FROM enc_dims d
-  JOIN enc_n n ON n.key = d.key
+  LEFT JOIN enc_n n ON n.key = d.key
   LEFT JOIN enc_b b ON b.key = d.key AND b.bdim = d.dim
 ),
 enc_vec AS (

@@ -75,7 +75,11 @@ def make_bmp_payload(media_id: int) -> bytes:
                 )
             )
         rows += b"\x00" * row_pad
-    pixel_bytes = bytes(rows)
+    return _pack_bmp(w, h, bytes(rows))
+
+
+def _pack_bmp(w: int, h: int, pixel_bytes: bytes) -> bytes:
+    """The ONE place BMP headers are written (encoder and resizer share it)."""
     info = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
     )
@@ -83,10 +87,33 @@ def make_bmp_payload(media_id: int) -> bytes:
     return file_header + info + pixel_bytes
 
 
+def _sniff(payload: bytes) -> str:
+    """'bmp' | 'wav' | 'fake' | 'unknown' — the ONE magic-byte dispatch."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload.startswith(_MAGIC):
+        return "fake"
+    return "unknown"
+
+
 def _bmp_dims(payload: bytes) -> tuple[int, int, int]:
-    w = struct.unpack_from("<i", payload, 18)[0]
+    """Validated dims of a BMP this module actually supports. Real-world
+    BMPs we can't decode (32bpp, palette, RLE, top-down) RAISE at the
+    seam instead of producing silent garbage — the same contract as the
+    formats that need Pillow."""
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
     h = struct.unpack_from("<i", payload, 22)[0]
-    return w, abs(h), struct.unpack_from("<I", payload, 10)[0]  # offset
+    if bpp != 24 or compression != 0 or h <= 0:
+        raise NotImplementedError(
+            f"only bottom-up 24-bit uncompressed BMP is decoded here "
+            f"(got bpp={bpp}, compression={compression}, height={h}); "
+            f"other BMP variants need Pillow"
+        )
+    w = struct.unpack_from("<i", payload, 18)[0]
+    return w, h, struct.unpack_from("<I", payload, 10)[0]  # offset
 
 
 def _bmp_pixels(payload: bytes):
@@ -117,13 +144,23 @@ def make_wav_payload(media_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _require_16bit(wv: wave.Wave_read) -> None:
+    if wv.getsampwidth() != 2:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decoded here (got sampwidth="
+            f"{wv.getsampwidth()}); other encodings need a real audio lib"
+        )
+
+
 def _wav_info(payload: bytes) -> tuple[int, int, int]:
     with wave.open(io.BytesIO(payload), "rb") as wv:
+        _require_16bit(wv)
         return wv.getnchannels(), wv.getframerate(), wv.getnframes()
 
 
 def _wav_samples(payload: bytes) -> list[int]:
     with wave.open(io.BytesIO(payload), "rb") as wv:
+        _require_16bit(wv)
         raw = wv.readframes(wv.getnframes())
     return [s[0] for s in struct.iter_unpack("<h", raw)]
 
@@ -183,19 +220,20 @@ def _decode_header(payload: bytes) -> dict:
     exactly where Pillow / pyav would plug in."""
     if payload is None:
         raise NotImplementedError("null payload")
-    if payload[:2] == b"BM":  # real BMP
+    kind = _sniff(payload)
+    if kind == "bmp":  # real BMP
         w, h, _ = _bmp_dims(payload)
         return {
             "width": w, "height": h, "n_frames": 1,
             "sample_rate": None, "n_channels": None,
         }
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":  # real WAV
+    if kind == "wav":  # real WAV
         ch, rate, frames = _wav_info(payload)
         return {
             "width": None, "height": None, "n_frames": frames,
             "sample_rate": rate, "n_channels": ch,
         }
-    if payload.startswith(_MAGIC):
+    if kind == "fake":
         w, h, frames = struct.unpack(">III", payload[5:17])
         return {
             "width": w, "height": h, "n_frames": frames,
@@ -259,13 +297,14 @@ def content_features(media: DataFrame) -> DataFrame:
             if p is None:
                 raise NotImplementedError("null payload")
             bins = [0] * _FEAT_DIM
-            if p[:2] == b"BM":
+            fmt = _sniff(p)
+            if fmt == "bmp":
                 for _, _, bb, gg, rr in _bmp_pixels(p):
                     bins[((bb + gg + rr) // 3) >> 4] += 1
-            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            elif fmt == "wav":
                 for s in _wav_samples(p):
                     bins[min(abs(s), 32767) >> 11] += 1
-            elif p.startswith(_MAGIC):
+            elif fmt == "fake":
                 for byte in p[17:]:
                     bins[byte >> 4] += 1
             else:
@@ -305,11 +344,12 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         def one(p: bytes | None):
             if p is None:
                 raise NotImplementedError("null payload")
-            if p[:2] == b"BM":
+            fmt = _sniff(p)
+            if fmt == "bmp":
                 return _resize_bmp(p, width, height)
-            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            if fmt == "wav":
                 return p
-            if p.startswith(_MAGIC):
+            if fmt == "fake":
                 _, _, frames = struct.unpack(">III", p[5:17])
                 return p[:5] + struct.pack(">III", width, height, frames) + p[17:]
             raise NotImplementedError("real resize stubbed for this format")
@@ -337,10 +377,4 @@ def _resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
             i = base + 3 * sx
             rows += payload[i : i + 3]
         rows += b"\x00" * dst_pad
-    pixel_bytes = bytes(rows)
-    info = struct.pack(
-        "<IiiHHIIiiII",
-        40, new_w, new_h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
-    )
-    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
-    return file_header + info + pixel_bytes
+    return _pack_bmp(new_w, new_h, bytes(rows))

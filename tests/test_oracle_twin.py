@@ -151,3 +151,26 @@ def test_clean_and_segment_replay_property(duck):
         assert sents == split_sentences(py_clean), repr(text)
 
     check()
+
+
+def test_enc_cte_degenerate_inputs_match_encoder(duck):
+    """Review-caught gap: the SQL encoder replay must emit the 64-dim ZERO
+    vector for token-free texts (the _HashEncoder `norm or 1.0` guard),
+    not drop the key or divide 0/0 to NULL."""
+    from darkbo_spark.functions.embed import _HashEncoder
+    from darkbo_spark.kg.oracle_twin import enc_cte
+
+    duck.execute("CREATE OR REPLACE TABLE enc_probe(k BIGINT, txt VARCHAR)")
+    cases = ["", "   ", "\t\n", "hello world", "a"]
+    for i, s in enumerate(cases):
+        duck.execute("INSERT INTO enc_probe VALUES (?, ?)", [i, s])
+    q = (
+        "WITH " + enc_cte("enc_probe", "k", "txt").strip()
+        + "\nSELECT key, list(val ORDER BY dim) AS v FROM enc_cell"
+        " GROUP BY key ORDER BY key"
+    )
+    enc = _HashEncoder()
+    rows = duck.execute(q).fetchall()
+    assert len(rows) == len(cases)
+    for (_, v), s in zip(rows, cases):
+        assert [round(x, 6) for x in v] == enc.encode([s])[0]
