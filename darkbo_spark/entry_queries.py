@@ -91,7 +91,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
@@ -110,7 +110,12 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dq).cast("double").alias("sum_qty"),
             F.sum(dp).cast("double").alias("sum_base_price"),
-            F.sum(dp * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
+            # scale-8 decimal sums exceed 2^53 when integer-scaled, and
+            # DuckDB's decimal→double conversion double-rounds there
+            # (int→double, then ÷10^8) while Spark's BigDecimal converts
+            # once — round the exact decimal back to scale 4 first so both
+            # engines make a single sub-2^53 conversion (caught at sf0.1)
+            F.round(F.sum(dp * (F.lit(1) - dd)), 4).cast("double").alias("sum_disc_price"),
             (F.sum(dq).cast("double") / F.count("*").cast("double")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -1151,9 +1156,34 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id<200) plus PLANTED near-duplicates: docs 0..19
+    re-appear as doc_id+100000 with one appended token. The word-salad
+    corpora differ per scale factor, and at sf0.1 the first 200 docs
+    happen to contain no natural near-dups — planting guarantees the LSH
+    queries return real pairs at EVERY sf instead of being data-lucky."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted near duplicate")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+# dialect-neutral SQL rendering of the SAME corpus (for the DuckDB twins)
+_NEARDUP_CORPUS_SQL = """
+(SELECT doc_id, text FROM documents WHERE doc_id < 200
+ UNION ALL
+ SELECT doc_id + 100000 AS doc_id, text || ' planted near duplicate' AS text
+ FROM documents WHERE doc_id < 20)
+"""
+
+
 @_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _neardup_corpus(spark, sf_dir)
     return minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4)
 
 
@@ -1237,9 +1267,10 @@ def _minhash_portable_oracle(
         + ") AS bucket FROM sig"
         for b in range(bands)
     )
+    # corpus = documents prefix + planted near-dups (see _NEARDUP_CORPUS_SQL)
     return f"""
 WITH docs AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
-              FROM documents WHERE doc_id < {id_limit}),
+              FROM {_NEARDUP_CORPUS_SQL} base),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(toks) - {n}, 0) + 1),
@@ -1319,7 +1350,7 @@ ORDER BY id_a, id_b
 
 @_q("minhash_lsh_pairs_x", _minhash_portable_oracle(16, 4, 3, 42, 500, 200))
 def minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _neardup_corpus(spark, sf_dir)
     return minhash_lsh_pairs(
         docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
     )
