@@ -1838,6 +1838,78 @@ def content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup (web-pipeline staple) — messy
+# URLs constructed dialect-neutrally from order keys; the canonicalizer is
+# functions/urlnorm.py (native, zero UDF) with its exact DuckDB twin
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.functions.urlnorm import canonical_url, sql_canonical_url  # noqa: E402
+
+# mixed-case schemes, default and explicit ports, trailing slashes, unsorted
+# query params, fragments — every canonicalization rule gets exercised
+_RAW_URL_SQL = (
+    "(CASE o_orderkey % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'"
+    " WHEN 2 THEN 'HtTp' ELSE 'HTTP' END)"
+    " || '://WWW.Site' || CAST(o_orderkey % 7 AS STRING) || '.COM'"
+    " || (CASE o_orderkey % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'"
+    " WHEN 2 THEN ':8080' ELSE '' END)"
+    " || (CASE WHEN o_orderkey % 11 = 0 THEN ''"
+    " ELSE '/Dir' || CAST(o_orderkey % 5 AS STRING)"
+    " || (CASE o_orderkey % 3 WHEN 0 THEN '/' ELSE '' END) END)"
+    " || (CASE o_orderkey % 2 WHEN 0 THEN"
+    " '?zz=' || CAST(o_orderkey % 3 AS STRING)"
+    " || '&aa=' || CAST(o_orderkey % 4 AS STRING) ELSE '' END)"
+    " || (CASE o_orderkey % 3 WHEN 0 THEN '#Sec'"
+    " || CAST(o_orderkey % 2 AS STRING) ELSE '' END)"
+)
+
+_URL_LIMIT = 5000
+
+
+@_q(
+    "url_canonicalize",
+    f"""
+SELECT o_orderkey, {_RAW_URL_SQL} AS url,
+       {sql_canonical_url(_RAW_URL_SQL)} AS canon
+FROM orders WHERE o_orderkey < {_URL_LIMIT}
+ORDER BY o_orderkey
+""",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every rule driver-verified: lowercase scheme/host, fragment strip,
+    default-port drop (http:80/https:443) with non-default ports kept,
+    single trailing-slash strip, lexicographic query-param sort."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < _URL_LIMIT)
+    url = F.expr(_RAW_URL_SQL)
+    return o.select("o_orderkey", url.alias("url"), canonical_url(url).alias("canon"))
+
+
+@_q(
+    "url_dedup_counts",
+    f"""
+SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM (SELECT {sql_canonical_url(_RAW_URL_SQL)} AS canon
+      FROM orders WHERE o_orderkey < {_URL_LIMIT})
+GROUP BY canon
+HAVING COUNT(*) > 1
+ORDER BY canon
+""",
+)
+def url_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: distinct raw spellings collapsing onto one
+    canonical form — the hash-groupBy that removes refetch duplicates at
+    crawl scale (exact dedup's URL-keyed sibling)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < _URL_LIMIT)
+    canon = canonical_url(F.expr(_RAW_URL_SQL))
+    return (
+        o.select(canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.count("*").alias("n_variants"))
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Keyword routing predicate (P4) — pseudo-questions built from part names
 # ---------------------------------------------------------------------------
 
