@@ -1837,6 +1837,55 @@ def content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "repetition_signals",
+    f"""
+SELECT doc_id, {ta.sql_dup_token_fraction('text')} AS dup_token_frac,
+       {ta.sql_top_bigram_fraction('text')} AS top_bigram_frac
+FROM documents WHERE doc_id < 300
+ORDER BY doc_id
+""",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-token fraction and the
+    most-frequent-bigram share) — the looping/boilerplate detectors every
+    training-data pipeline runs next to quality_scores. Native per-row
+    array expressions, no shuffle, both hash-oracled."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        ta.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
+        ta.top_bigram_fraction(F.col("text")).alias("top_bigram_frac"),
+    )
+
+
+# dialect-neutral PII-bearing suffix planted onto document text (the word
+# salad contains no emails/phones of its own)
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id % 50 AS STRING) || '@Mail' "
+    "|| CAST(doc_id % 7 AS STRING) || '.example.com or call ' "
+    "|| (CASE doc_id % 3 WHEN 0 THEN '(555)-12' WHEN 1 THEN '555.12' "
+    "ELSE '555 12' END) || CAST(doc_id % 10 AS STRING) || '-4567 today'"
+)
+
+
+@_q(
+    "redact_pii_docs",
+    f"""
+SELECT doc_id, {ta.sql_redact_pii(f"text || {_PII_SUFFIX_SQL}")} AS redacted
+FROM documents WHERE doc_id < 300
+ORDER BY doc_id
+""",
+)
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass driver-verified byte-for-byte: emails and phone
+    numbers (several spellings) planted into the text and replaced with
+    typed placeholders by the identical regex chain in both engines."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dirty = F.concat(F.col("text"), F.expr(_PII_SUFFIX_SQL))
+    return d.select("doc_id", ta.redact_pii(dirty).alias("redacted"))
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization + canonical-URL dedup (web-pipeline staple) — messy
 # URLs constructed dialect-neutrally from order keys; the canonicalizer is

@@ -174,3 +174,92 @@ def sql_rolling_fingerprint(text: str) -> str:
         f"list_transform({toks}, t -> {ph} % {_ROLL_P})), "
         f"(acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_P})"
     )
+
+
+# ---- repetition quality signals (Gopher-style filters) ---------------------
+
+def dup_token_fraction(text: Column) -> Column:
+    """1 − distinct/total tokens — the repetition signal that catches
+    keyword-stuffed and boilerplate pages (Gopher's duplicate-fraction
+    family adapted to single-line text). Native array ops only."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Share of all token bigrams taken by the single most frequent bigram
+    — high values mean looping/templated text. Built from a slide over the
+    token array + aggregate over the distinct bigrams; no UDF, no shuffle
+    (per-row expression)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    top = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0).cast("int"),
+        lambda acc, bg: F.greatest(
+            acc, F.size(F.filter(bigrams, lambda x: x == bg))
+        ),
+    )
+    return F.when(
+        n >= 2, F.round(top.cast("double") / (n - 1).cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def sql_dup_token_fraction(text: str) -> str:
+    toks = f"list_filter(string_split_regex(lower({text}), ' +'), x -> x <> '')"
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"round(1.0 - len(list_distinct({toks})) * 1.0 / len({toks}), 6) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def sql_top_bigram_fraction(text: str) -> str:
+    toks = f"list_filter(string_split_regex(lower({text}), ' +'), x -> x <> '')"
+    bigrams = (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+    top = (
+        f"list_max(list_transform(list_distinct({bigrams}), "
+        f"bg -> len(list_filter({bigrams}, x -> x = bg))))"
+    )
+    return (
+        f"(CASE WHEN len({toks}) >= 2 THEN "
+        f"round({top} * 1.0 / (len({toks}) - 1), 6) ELSE 0.0 END)"
+    )
+
+
+# ---- PII redaction (training-data scrubbing) -------------------------------
+
+# RE2-safe AND Java-safe patterns (no lookarounds, explicit classes)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholders — the
+    standard scrub pass before text enters a training corpus. Native
+    regexp_replace (global in Spark), order fixed: emails first so a
+    digit-bearing address never half-matches the phone pattern."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def sql_redact_pii(text: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({text}, '{EMAIL_RE}', '[EMAIL]', 'g'), "
+        f"'{PHONE_RE}', '[PHONE]', 'g')"
+    )

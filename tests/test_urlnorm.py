@@ -42,3 +42,36 @@ def test_canonical_url_rules(spark, raw, want):
         .c
     )
     assert got == want, raw
+
+
+def test_repetition_signals_on_crafted_text(spark):
+    from darkbo_spark.functions.text_analysis import (
+        dup_token_fraction,
+        top_bigram_fraction,
+    )
+
+    rows = (
+        spark.createDataFrame(
+            [("a b a b a b",), ("all distinct words here now",), ("", ), ("one",)],
+            ["text"],
+        )
+        .select(
+            dup_token_fraction(F.col("text")).alias("d"),
+            top_bigram_fraction(F.col("text")).alias("t"),
+        )
+        .collect()
+    )
+    # "a b a b a b": 6 tokens, 2 distinct -> dup 2/3; bigrams: 'a b'x3,'b a'x2 of 5
+    assert rows[0].d == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert rows[0].t == pytest.approx(3 / 5, abs=1e-6)
+    assert rows[1].d == 0.0
+    assert rows[2].d == 0.0 and rows[2].t == 0.0
+    assert rows[3].t == 0.0  # single token: no bigrams
+
+
+def test_redact_pii_spellings(spark):
+    from darkbo_spark.functions.text_analysis import redact_pii
+
+    raw = "mail a.b+c@x.co.uk or (555)-123-4567 or 555.123.4567 or 555 123 4567"
+    got = spark.range(1).select(redact_pii(F.lit(raw)).alias("r")).collect()[0].r
+    assert got == "mail [EMAIL] or [PHONE] or [PHONE] or [PHONE]"
