@@ -78,6 +78,10 @@ HEADLINE = [
     "prebuild_query_hybrid",
     "kg_triples_x",
     "kg_linked_x",
+    "url_canonicalize",
+    "url_dedup_counts",
+    "repetition_signals",
+    "redact_pii_docs",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -196,21 +196,41 @@ def dup_token_fraction(text: Column) -> Column:
 
 def top_bigram_fraction(text: Column) -> Column:
     """Share of all token bigrams taken by the single most frequent bigram
-    — high values mean looping/templated text. Built from a slide over the
-    token array + aggregate over the distinct bigrams; no UDF, no shuffle
-    (per-row expression)."""
+    — high values mean looping/templated text. Implementation: slide to
+    bigrams, SORT the array, then one aggregate pass tracking the longest
+    equal-adjacent run (struct accumulator). O(n log n) per row — the
+    obvious count-per-distinct-bigram form re-evaluates the bigram array
+    inside a nested lambda for every distinct element (no CSE inside
+    Spark HOFs, interpreted eval) and measured ~30 s for 300 rows; this
+    form runs in well under a second."""
     toks = tokens(text)
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    bigrams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
     )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
     top = F.aggregate(
-        F.array_distinct(bigrams),
-        F.lit(0).cast("int"),
-        lambda acc, bg: F.greatest(
-            acc, F.size(F.filter(bigrams, lambda x: x == bg))
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
+        _step,
+        lambda acc: acc["best"],
     )
     return F.when(
         n >= 2, F.round(top.cast("double") / (n - 1).cast("double"), 6)
