@@ -82,6 +82,7 @@ HEADLINE = [
     "url_dedup_counts",
     "repetition_signals",
     "redact_pii_docs",
+    "unigram_logprob_scores",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -1859,6 +1859,26 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "unigram_logprob_scores",
+    f"""
+SELECT doc_id, {ta.sql_unigram_logprob('text')} AS mean_logprob
+FROM documents WHERE doc_id < 300
+ORDER BY doc_id
+""",
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-based quality filter: mean token ln-probability under the
+    deterministic add-one unigram LM (trained at import on the embedded
+    corpus — the seam where a real KenLM/LLM scorer plugs in). Vocab and
+    log tables inline as constants in BOTH engines, the fold runs in token
+    order, so the driver hash covers the whole scoring chain."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id", ta.unigram_logprob(F.col("text")).alias("mean_logprob")
+    )
+
+
 # dialect-neutral PII-bearing suffix planted onto document text (the word
 # salad contains no emails/phones of its own)
 _PII_SUFFIX_SQL = (

@@ -283,3 +283,75 @@ def sql_redact_pii(text: str) -> str:
         f"regexp_replace(regexp_replace({text}, '{EMAIL_RE}', '[EMAIL]', 'g'), "
         f"'{PHONE_RE}', '[PHONE]', 'g')"
     )
+
+
+# ---- unigram language-model quality score ----------------------------------
+# The model-based member of the quality-filter family: mean token
+# log-probability under a deterministic add-one-smoothed unigram LM trained
+# at import time on the embedded corpus (functions/bpe._TRAIN_CORPUS — the
+# same no-external-data discipline as the BPE merge table). Production swaps
+# in a real KenLM/llm scorer at this seam; the distributed shape (pure
+# per-row expression over a broadcast-sized vocab) is identical.
+
+def _train_unigram() -> tuple[list[str], list[float], float]:
+    import math
+    from collections import Counter
+
+    from darkbo_spark.functions.bpe import _TRAIN_CORPUS
+
+    counts = Counter(_TRAIN_CORPUS.lower().split())
+    total = sum(counts.values())
+    v = len(counts)
+    vocab = sorted(counts)
+    logs = [math.log((counts[w] + 1) / (total + v + 1)) for w in vocab]
+    oov = math.log(1.0 / (total + v + 1))
+    return vocab, logs, oov
+
+
+UNIGRAM_VOCAB, UNIGRAM_LOGS, UNIGRAM_OOV = _train_unigram()
+
+
+def unigram_logprob(text: Column) -> Column:
+    """Mean ln P(token) over whitespace tokens (0.0 for empty text). The
+    vocab/log tables inline as ONE parsed SQL array literal each (the
+    py4j-per-element trap); the fold runs in token order so the oracle's
+    list_reduce computes bit-identical double sums."""
+    vocab_lit = "array(" + ", ".join(f"'{w}'" for w in UNIGRAM_VOCAB) + ")"
+    logs_lit = "array(" + ", ".join(repr(x) + "D" for x in UNIGRAM_LOGS) + ")"
+    toks = tokens(text)
+
+    def _lp(t):
+        pos = F.array_position(F.expr(vocab_lit), t).cast("int")
+        # array_position yields 0 for OOV and element_at RAISES on index 0
+        # under ANSI — guard, don't coalesce
+        return F.when(pos > 0, F.element_at(F.expr(logs_lit), pos)).otherwise(
+            F.lit(UNIGRAM_OOV)
+        )
+
+    lp = F.transform(toks, _lp)
+    total = F.aggregate(lp, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(
+        F.size(toks) > 0, F.round(total / F.size(toks).cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def sql_unigram_logprob(text: str) -> str:
+    # bare decimal literals parse as DECIMAL in DuckDB (and -10.91… fails
+    # the inferred DECIMAL(17,16)) — every constant is cast to DOUBLE so
+    # both engines fold the identical IEEE doubles
+    vocab_lit = "[" + ", ".join(f"'{w}'" for w in UNIGRAM_VOCAB) + "]"
+    logs_lit = (
+        "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in UNIGRAM_LOGS) + "]"
+    )
+    toks = f"list_filter(string_split_regex(lower({text}), ' +'), x -> x <> '')"
+    lp = (
+        f"list_transform({toks}, t -> CASE "
+        f"WHEN list_position({vocab_lit}, t) > 0 "
+        f"THEN {logs_lit}[list_position({vocab_lit}, t)] "
+        f"ELSE CAST({UNIGRAM_OOV!r} AS DOUBLE) END)"
+    )
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"round(list_reduce(list_prepend(0.0, {lp}), (a, b) -> a + b)"
+        f" / len({toks}), 6) ELSE 0.0 END)"
+    )

@@ -75,3 +75,28 @@ def test_redact_pii_spellings(spark):
     raw = "mail a.b+c@x.co.uk or (555)-123-4567 or 555.123.4567 or 555 123 4567"
     got = spark.range(1).select(redact_pii(F.lit(raw)).alias("r")).collect()[0].r
     assert got == "mail [EMAIL] or [PHONE] or [PHONE] or [PHONE]"
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from darkbo_spark.functions.text_analysis import (
+        UNIGRAM_LOGS,
+        UNIGRAM_OOV,
+        UNIGRAM_VOCAB,
+        unigram_logprob,
+    )
+
+    lut = dict(zip(UNIGRAM_VOCAB, UNIGRAM_LOGS))
+    rows = (
+        spark.createDataFrame([("the table",), ("zzqq unknown",), ("",)], ["text"])
+        .select(unigram_logprob(F.col("text")).alias("lp"))
+        .collect()
+    )
+    assert rows[0].lp == round((lut["the"] + lut["table"]) / 2, 6)
+    # fully-OOV text scores exactly the OOV floor
+    assert rows[1].lp == round(UNIGRAM_OOV, 6)
+    assert rows[2].lp == 0.0
+    # in-vocab text must beat OOV text (the filter's discriminating power)
+    assert rows[0].lp > rows[1].lp
+    assert math.isfinite(rows[0].lp)
