@@ -121,6 +121,14 @@ def main() -> int:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     qs = entry_mod.queries()
+    # full-query warm-up, UNTIMED: the first timed slot must not absorb
+    # residual JVM/codegen/py-worker spin-up (round-3 lesson — flagship sat
+    # first and its +25% "regression" was warm-up jitter). One
+    # representative query per engine path: codegen scan (flagship) and an
+    # Arrow-UDF + shuffle pipeline (tfidf).
+    for warm in ("flagship_relevance_topk", "tfidf_topk"):
+        qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -102,7 +102,13 @@ def _bmp_dims(payload: bytes) -> tuple[int, int, int]:
     """Validated dims of a BMP this module actually supports. Real-world
     BMPs we can't decode (32bpp, palette, RLE, top-down) RAISE at the
     seam instead of producing silent garbage — the same contract as the
-    formats that need Pillow."""
+    formats that need Pillow. Truncated payloads (e.g. a 20-byte blob
+    starting with 'BM') raise the same seam error, not a raw
+    struct.error that would fail the whole Arrow batch."""
+    if len(payload) < 54:
+        raise NotImplementedError(
+            f"truncated BMP payload ({len(payload)} bytes < 54-byte header)"
+        )
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
     h = struct.unpack_from("<i", payload, 22)[0]
@@ -113,7 +119,14 @@ def _bmp_dims(payload: bytes) -> tuple[int, int, int]:
             f"other BMP variants need Pillow"
         )
     w = struct.unpack_from("<i", payload, 18)[0]
-    return w, h, struct.unpack_from("<I", payload, 10)[0]  # offset
+    off = struct.unpack_from("<I", payload, 10)[0]
+    stride = 3 * w + ((-3 * w) % 4)
+    if w <= 0 or len(payload) < off + h * stride:
+        raise NotImplementedError(
+            f"truncated BMP pixel array ({len(payload)} bytes < "
+            f"{off + h * stride} needed for {w}x{h})"
+        )
+    return w, h, off
 
 
 def _bmp_pixels(payload: bytes):
@@ -153,15 +166,21 @@ def _require_16bit(wv: wave.Wave_read) -> None:
 
 
 def _wav_info(payload: bytes) -> tuple[int, int, int]:
-    with wave.open(io.BytesIO(payload), "rb") as wv:
-        _require_16bit(wv)
-        return wv.getnchannels(), wv.getframerate(), wv.getnframes()
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wv:
+            _require_16bit(wv)
+            return wv.getnchannels(), wv.getframerate(), wv.getnframes()
+    except (wave.Error, EOFError) as e:  # truncated/corrupt RIFF → seam error
+        raise NotImplementedError(f"undecodable WAV payload: {e}") from e
 
 
 def _wav_samples(payload: bytes) -> list[int]:
-    with wave.open(io.BytesIO(payload), "rb") as wv:
-        _require_16bit(wv)
-        raw = wv.readframes(wv.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wv:
+            _require_16bit(wv)
+            raw = wv.readframes(wv.getnframes())
+    except (wave.Error, EOFError) as e:  # truncated/corrupt RIFF → seam error
+        raise NotImplementedError(f"undecodable WAV payload: {e}") from e
     return [s[0] for s in struct.iter_unpack("<h", raw)]
 
 
@@ -234,6 +253,10 @@ def _decode_header(payload: bytes) -> dict:
             "sample_rate": rate, "n_channels": ch,
         }
     if kind == "fake":
+        if len(payload) < 17:
+            raise NotImplementedError(
+                f"truncated FAKE payload ({len(payload)} bytes < 17-byte header)"
+            )
         w, h, frames = struct.unpack(">III", payload[5:17])
         return {
             "width": w, "height": h, "n_frames": frames,

@@ -52,7 +52,27 @@ def stream_pages_to_triples(
     offset commit replays the batch), so the write is made IDEMPOTENT:
     dynamic partition overwrite keyed by batch_id — a replayed batch
     rewrites its own partition instead of appending duplicates, which is
-    the standard exactly-once-effect pattern for foreachBatch sinks."""
+    the standard exactly-once-effect pattern for foreachBatch sinks.
+
+    checkpoint_path and output_path share ONE lifetime: idempotence keys
+    on batch_id, so resetting the checkpoint while keeping the output
+    would restart batch_id at 0 and leave stale higher-numbered batch
+    partitions mixed into downstream reads. A populated output with no
+    checkpoint is therefore refused up front instead of silently
+    corrupting."""
+    import os
+
+    if not os.path.exists(checkpoint_path) and any(
+        e.startswith("batch_id=") for e in (
+            os.listdir(output_path) if os.path.isdir(output_path) else []
+        )
+    ):
+        raise ValueError(
+            f"output_path {output_path!r} already holds batch_id partitions "
+            f"but checkpoint_path {checkpoint_path!r} does not exist — "
+            "batch_id numbering would restart at 0 and strand stale "
+            "partitions; clear the output or restore its checkpoint"
+        )
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)

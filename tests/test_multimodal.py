@@ -121,3 +121,18 @@ def test_fake_payload_roundtrip():
     meta = _decode_header(p)
     assert (meta["width"], meta["height"]) == (16 + 7 % 48, 16 + 49 % 32)
     assert meta["n_frames"] == 4 + 7 % 8
+
+
+def test_truncated_payloads_raise_at_the_seam():
+    """Truncated blobs must raise the documented seam error, not a raw
+    struct.error/wave.Error that would fail the whole Arrow batch with an
+    unrelated exception type."""
+    for payload in [
+        b"BM" + b"\x00" * 18,              # 20-byte blob starting with 'BM'
+        make_bmp_payload(3)[:60],           # header ok, pixel array cut short
+        b"FAKEV\x00\x01",                  # FAKE magic, truncated header
+        b"RIFF\x00\x00\x00\x00WAVE",       # RIFF/WAVE with no fmt chunk
+        make_wav_payload(3)[:30],           # WAV cut mid-header
+    ]:
+        with pytest.raises(NotImplementedError):
+            _decode_header(payload)

@@ -323,3 +323,24 @@ def test_stream_linked_triples_equals_batch(spark, tmp_path):
     }
     assert replayed == batch
     assert spark.read.parquet(outp).count() == len(batch)
+
+
+def test_stream_refuses_output_without_checkpoint(spark, tmp_path):
+    """batch_id-keyed idempotence requires the checkpoint and output to
+    share a lifetime: a populated output with a missing checkpoint would
+    restart batch_id at 0 and strand stale partitions — refused up front."""
+    import pytest
+
+    inp = str(tmp_path / "pages_in2")
+    outp = str(tmp_path / "triples_out2")
+    ckpt = str(tmp_path / "ckpt2")
+    synth_pages(spark, 10, seed=5).write.parquet(inp)
+    q = stream_pages_to_triples(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(outp).count() > 0
+
+    import shutil
+
+    shutil.rmtree(ckpt)
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_pages_to_triples(spark, inp, outp, str(tmp_path / "ckpt2_new"))
