@@ -1,5 +1,13 @@
-"""Operator corpus for the driver contract: each SURVEY.md §2 operator as a
-(spark query, DuckDB oracle SQL) pair over the driver's parquet tables.
+"""Operator corpus for the driver contract — registry and ORDER.
+
+Each SURVEY.md §2 operator is a (Spark query, DuckDB oracle SQL) pair over
+the driver's parquet tables, defined in the family modules under
+darkbo_spark/queries/ (star, retrieval, textops, dedup_queries,
+events_queries, media_embed, kg_queries) and registered into
+queries.common.QUERIES / ORACLE_SQL at import time. This module imports
+the families and then pins the DRIVER SAMPLING WINDOW: the driver's
+correctness gate runs the FIRST 50 registered entries, so the final dict
+order is an interface (see _DRIVER_WINDOW below), not an import accident.
 
 Float discipline (the driver hashes values): money-style aggregates are
 computed in DECIMAL (exact, associative — immune to partial-aggregation
@@ -10,2562 +18,22 @@ aliased identically in both engines.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from darkbo_spark.functions.ids import sha256_id_col
-from darkbo_spark.functions import text_analysis as ta
-from darkbo_spark.operators.dedup import (
-    exact_dedup,
-    minhash_lsh_pairs,
-    simhash,
-    token_jaccard_pairs,
-)
-from darkbo_spark.operators.events import (
-    dedup_by_priority,
-    json_prop,
-    running_totals,
-    sessionize,
-)
-from darkbo_spark.operators.merge import split_created_updated, upsert
-from darkbo_spark.operators.scoring import relevance_score_col, relevance_score_sql
-from darkbo_spark.operators.similarity import brute_force_topk, lsh_topk
-from darkbo_spark.operators.tfidf import build_postings, score_query
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
-
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE_SQL[name] = oracle
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-# ---------------------------------------------------------------------------
-# Flagship: lexical relevance scoring + top-k (A1 + P6 + T1)
-# ---------------------------------------------------------------------------
-
-FLAGSHIP_QUERY = "fast table scan with window agg"
-
-_flagship_oracle = f"""
-SELECT doc_id,
-       {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} AS score
-FROM documents
-WHERE {relevance_score_sql(FLAGSHIP_QUERY, 'lower(text)', 'lower(source)')} > 0
-ORDER BY score DESC, doc_id ASC
-LIMIT 5
-"""
-
-
-@_q("flagship_relevance_topk", _flagship_oracle)
-def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    score = relevance_score_col(FLAGSHIP_QUERY, F.lower("text"), F.lower("source"))
-    return (
-        docs.select("doc_id", score.alias("score"))
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(5)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scan + filter + aggregate (S1/P6/A3): TPC-H Q1-shaped pricing summary
-# ---------------------------------------------------------------------------
-
-@_q(
-    "q1_pricing_summary",
-    """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-""",
-)
-def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    dq = F.col("l_quantity").cast("decimal(18,4)")
-    dp = F.col("l_extendedprice").cast("decimal(18,4)")
-    dd = F.col("l_discount").cast("decimal(18,4)")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dq).cast("double").alias("sum_qty"),
-            F.sum(dp).cast("double").alias("sum_base_price"),
-            # scale-8 decimal sums exceed 2^53 when integer-scaled, and
-            # DuckDB's decimal→double conversion double-rounds there
-            # (int→double, then ÷10^8) while Spark's BigDecimal converts
-            # once — round the exact decimal back to scale 4 first so both
-            # engines make a single sub-2^53 conversion (caught at sf0.1)
-            F.round(F.sum(dp * (F.lit(1) - dd)), 4).cast("double").alias("sum_disc_price"),
-            (F.sum(dq).cast("double") / F.count("*").cast("double")).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Top-k (T1)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "top5_orders",
-    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5",
-)
-def top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(5)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Corpus stats (A3)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "corpus_stats",
-    """
-SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
-FROM documents GROUP BY lang
-""",
-)
-def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum("n_chars").alias("total_chars"),
-            (F.sum("n_chars").cast("double") / F.count("*").cast("double")).alias("avg_chars"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Precedence dedup (A5)
-# ---------------------------------------------------------------------------
-
-_PRIORITY_SQL = (
-    "CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1 "
-    "WHEN 'click' THEN 2 WHEN 'view' THEN 3 WHEN 'error' THEN 4 ELSE 99 END"
-)
-
-
-@_q(
-    "dedup_first_wins",
-    f"""
-SELECT user_id, event_id, event_type FROM (
-  SELECT user_id, event_id, event_type,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {_PRIORITY_SQL} ASC, ts ASC, event_id ASC) AS rk
-  FROM events
-) WHERE rk = 1
-""",
-)
-def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_by_priority(_t(spark, sf_dir, "events")).select(
-        "user_id", "event_id", "event_type"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Upsert / MERGE (J2)
-# ---------------------------------------------------------------------------
-
-_UPSERT_ORACLE = """
-WITH target AS (
-  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
-), updates AS (
-  SELECT c_custkey, 'updated-' || CAST(c_custkey AS VARCHAR) AS c_name, 0.0 AS c_acctbal
-  FROM customer WHERE c_custkey % 10 = 0
-), unioned AS (
-  SELECT *, 1 AS pri FROM target
-  UNION ALL
-  SELECT *, 0 AS pri FROM updates
-)
-SELECT c_custkey, c_name, c_acctbal FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY pri ASC) AS rk FROM unioned
-) WHERE rk = 1
-"""
-
-
-def _merge_inputs(spark: SparkSession, sf_dir: str):
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    target = c.filter(F.col("c_custkey") % 3 != 0)
-    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
-        "c_custkey",
-        F.concat(F.lit("updated-"), F.col("c_custkey").cast("string")).alias("c_name"),
-        F.lit(0.0).alias("c_acctbal"),
-    )
-    return target, updates
-
-
-@_q("merge_upsert", _UPSERT_ORACLE)
-def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target, updates = _merge_inputs(spark, sf_dir)
-    return upsert(target, updates, "c_custkey")
-
-
-@_q(
-    "upsert_created_updated",
-    """
-WITH target AS (
-  SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
-), updates AS (
-  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
-)
-SELECT c_custkey, 'created' AS op FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM target)
-UNION ALL
-SELECT c_custkey, 'updated' AS op FROM updates WHERE c_custkey IN (SELECT c_custkey FROM target)
-""",
-)
-def upsert_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target, updates = _merge_inputs(spark, sf_dir)
-    return split_created_updated(target, updates, "c_custkey")
-
-
-# ---------------------------------------------------------------------------
-# Point lookup (J1): equi-probe by key — the reference scans whole JSON files
-# for one id (ai_worker.py:482-508 behavior); here it's a pushed-down filter
-# ---------------------------------------------------------------------------
-
-@_q(
-    "point_lookup",
-    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 4242",
-)
-def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") == 4242)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Semi/anti joins (resume-filter shape)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "customers_without_recent_orders",
-    """
-SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
-""",
-)
-def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
-    )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
-
-
-@_q(
-    "customers_with_orders",
-    "SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
-)
-def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
-
-
-# ---------------------------------------------------------------------------
-# Dense retrieval (J3): exact cosine top-k vs the vec_id=0 query vector
-# ---------------------------------------------------------------------------
-
-_DENSE_ORACLE = """
-WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id AS doc_id,
-       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
-             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
-FROM embeddings e, q
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-@_q("dense_topk", _DENSE_ORACLE)
-def dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    queries = emb.filter(F.col("vec_id") == 0).select(
-        F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
-    )
-    return brute_force_topk(emb, queries, k=10).select("doc_id", "score")
-
-
-@_q("ann_lsh_topk")  # rows-only: recall vs brute force asserted in pytest
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6).select("qid", "doc_id", "score")
-
-
-@_q("ann_multiprobe_topk")  # rows-only: recall ≥ single-probe asserted in pytest
-def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.similarity import lsh_topk_multi
-
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    return lsh_topk_multi(
-        emb, queries, dim=64, k=5, n_planes=6, n_tables=4, multiprobe=True
-    ).select("qid", "doc_id", "score")
-
-
-# ---------------------------------------------------------------------------
-# Sparse retrieval (A2/J4): TF-IDF postings + query join
-# ---------------------------------------------------------------------------
-
-_TFIDF_TERMS = ["table", "scan", "window"]
-
-_TFIDF_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
-  FROM documents
-), tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
-), n AS (SELECT COUNT(*) AS n_docs FROM documents),
-idf AS (
-  SELECT token, ln((SELECT n_docs + 1 FROM n) * 1.0 / (COUNT(*) + 1)) + 1 AS idf
-  FROM tf GROUP BY token
-)
-SELECT tf.doc_id,
-       CAST(SUM(CAST(ROUND(tf.tf * idf.idf, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
-FROM tf JOIN idf USING (token)
-WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
-GROUP BY tf.doc_id
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-@_q("tfidf_topk", _TFIDF_ORACLE)
-def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    postings = build_postings(docs).withColumn(
-        "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
-    )
-    scored = (
-        postings.join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
-        .groupBy("doc_id")
-        .agg(F.sum("tf_idf").cast("double").alias("score"))
-    )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
-
-
-# ---------------------------------------------------------------------------
-# BM25 (the reference's true sparse channel — Whoosh BM25F, k1=1.2 b=0.75,
-# ai_worker.py:208-226) and raw-query-string parsing (QueryParser AND
-# semantics, ai_worker.py:209-210)
-# ---------------------------------------------------------------------------
-
-# shared DuckDB CTE block: tf, doc length, corpus size, avgdl, df — the same
-# definitions the Spark operator uses (operators/tfidf.py:build_bm25_postings)
-_BM25_CTES = """
-toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
-  FROM documents
-), tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
-), dl AS (
-  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
-), n AS (SELECT COUNT(*) AS n_docs FROM documents),
-s AS (
-  SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n_docs FROM n) AS DOUBLE) AS avgdl FROM dl
-), dfreq AS (
-  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
-)
-"""
-
-# per-(token, doc) BM25 weight — mirrors the Spark column expression term by
-# term. The 2.2 literal is cast to DOUBLE so DuckDB multiplies in IEEE
-# doubles like Spark does (bare `tf * 2.2` would be exact DECIMAL(21,1) and
-# could land on the other side of the 6dp rounding boundary); 6dp round →
-# decimal sum → exact.
-_BM25_W = (
-    "ROUND(ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5))"
-    " * ((tf * CAST(2.2 AS DOUBLE))"
-    " / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM s)))), 6)"
-)
-
-_BM25_ORACLE = f"""
-WITH {_BM25_CTES}
-SELECT tf.doc_id,
-       CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
-FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
-GROUP BY tf.doc_id
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-@_q("bm25_topk", _BM25_ORACLE)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.tfidf import bm25_score_query, build_bm25_postings
-
-    docs = _t(spark, sf_dir, "documents")
-    return bm25_score_query(build_bm25_postings(docs), _TFIDF_TERMS, top_k=10)
-
-
-# raw question string — NOT a pre-tokenized term list; parse_query derives
-# the AND term set ('what'/'is'/'a'/'when'/'the' are stopwords) exactly like
-# the reference's QueryParser step does before its postings search
-_RAW_QUERY = 'what is a fast "table scan" when the window agg is slow'
-import re as _re  # noqa: E402
-
-from darkbo_spark.operators.queryparse import (  # noqa: E402
-    parse_query as _pq,
-    phrase_regex as _phrase_regex,
-)
-from darkbo_spark.reference_impl import STOP_WORDS as _STOPS  # noqa: E402
-
-_PARSED = _pq(_RAW_QUERY)
-# ranking term set = AND terms + analyzed phrase words (what search_text
-# feeds bm25_score_query)
-_RANK_TERMS = sorted(
-    set(_PARSED.terms)
-    | {
-        w
-        for p in _PARSED.phrases
-        for w in _re.findall(r"\w+", p)
-        if len(w) >= 2 and w not in _STOPS
-    }
-)
-
-_PARSED_ORACLE = f"""
-WITH {_BM25_CTES},
-matched AS (
-  SELECT doc_id FROM tf
-  WHERE token IN ({", ".join(repr(t) for t in _PARSED.terms)})
-  GROUP BY doc_id
-  HAVING COUNT(DISTINCT token) = {len(set(_PARSED.terms))}
-),
-phrased AS (
-  SELECT doc_id FROM documents
-  WHERE regexp_matches(lower(text), '{_phrase_regex(_PARSED.phrases[0])}')
-)
-SELECT tf.doc_id,
-       CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
-FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-WHERE token IN ({", ".join(repr(t) for t in _RANK_TERMS)})
-  AND tf.doc_id IN (SELECT doc_id FROM matched)
-  AND tf.doc_id IN (SELECT doc_id FROM phrased)
-GROUP BY tf.doc_id
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-@_q("parsed_search_topk", _PARSED_ORACLE)
-def parsed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.queryparse import search_text
-
-    docs = _t(spark, sf_dir, "documents")
-    return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10)
-
-
-def _corpus_fp(sf_dir: str, table: str) -> str:
-    """Corpus fingerprint for stored-index skip: sf_dir identity + each
-    parquet file's (name, size, mtime) — a corpus replaced with preserved
-    mtimes (cp -p, archive extract) still changes names or sizes, so a
-    stale stored index can't be silently served across processes."""
-    import hashlib
-    import os
-
-    def _stat(p: str) -> str:
-        st = os.stat(p)
-        return f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime}"
-
-    path = f"{sf_dir}/{table}.parquet"
-    parts = ""
-    if os.path.isdir(path):
-        parts = ",".join(
-            _stat(os.path.join(path, f)) for f in sorted(os.listdir(path))
-        )
-    elif os.path.exists(path):
-        parts = _stat(path)
-    return hashlib.md5(f"{sf_dir}|{table}|{parts}".encode()).hexdigest()
-
-
-def _stored_table(sf_dir: str, name: str, source_table: str, build, partition_by=None):
-    """Publish-once plumbing for the stored-index queries: per-user tmp
-    base (no cross-user collisions) and the publish held under a
-    BuildLock with a double-checked fingerprint — concurrent driver /
-    bench / pytest processes must never race two writers into the same
-    v{seq} dir (the exact hazard SnapshotTable's own docs call out). A
-    loser WAITS for the winner and then finds the fingerprint fresh."""
-    import os
-    import tempfile
-    import time
-
-    from darkbo_spark.storage.snapshots import BuildLock, SnapshotTable
-
-    base = os.path.join(
-        tempfile.gettempdir(), f"darkbo_spark_indexes_u{os.getuid()}"
-    )
-    table = SnapshotTable(base, name)
-    fp = _corpus_fp(sf_dir, source_table)
-    if table.current_fingerprint() == fp:
-        return table
-    lock = BuildLock(base, name)
-    owner = f"q-{os.getpid()}-{time.time()}"
-    for _ in range(240):
-        if lock.acquire(owner):
-            break
-        if table.current_fingerprint() == fp:
-            return table  # a concurrent publisher finished our work
-        time.sleep(0.5)
-    else:
-        raise RuntimeError(f"stored-index lock busy for {name}: {lock.owner()}")
-    try:
-        if table.current_fingerprint() != fp:  # double-checked under the lock
-            table.publish(build(), fp, partition_by=partition_by)
-            table.expire(retain_last=3)
-    finally:
-        lock.release(owner)
-    return table
-
-
-@_q("parsed_search_stored", _PARSED_ORACLE)
-def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13 end-to-end: the BM25 postings are MATERIALIZED once as a
-    published SnapshotTable version (the production claim in docs/SCALE.md —
-    build the sparse index once, serve every query from the stored table),
-    then the same raw-query search runs against the STORED postings. Same
-    oracle as the inline form — the driver hash proves store+serve loses
-    nothing. Re-runs over the same corpus hit the fingerprint skip."""
-    from darkbo_spark.operators.queryparse import search_text
-    from darkbo_spark.operators.tfidf import build_bm25_postings
-
-    docs = _t(spark, sf_dir, "documents")
-    # persist=False: this build feeds exactly ONE write — caching its tf
-    # frame would pin dead executor memory for the rest of the session
-    table = _stored_table(
-        sf_dir,
-        "bm25_postings",
-        "documents",
-        lambda: build_bm25_postings(docs, persist=False),
-    )
-    stored = table.read(spark)
-    return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=stored)
-
-
-# ---------------------------------------------------------------------------
-# Hybrid retrieval (the reference's core query: dense ∪ sparse ∪ basic with
-# dense-first precedence dedup + top-k)
-# ---------------------------------------------------------------------------
-
-# shared hybrid skeleton — the dense/basic channels, union, precedence
-# dedup and top-k are IDENTICAL across the tf·idf and BM25 variants; only
-# the sparse channel differs (one copy: edits to the skeleton can't
-# silently diverge between the two oracles / two Spark bodies)
-
-def _hybrid_oracle_sql(sparse_ctes: str, sparse_select: str) -> str:
-    basic_score = relevance_score_sql(FLAGSHIP_QUERY, "lower(text)", "lower(source)")
-    return f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
-dense AS (
-  SELECT e.vec_id AS id,
-         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score,
-         0 AS pri
-  FROM embeddings e, q
-),
-{sparse_ctes},
-sparse AS ({sparse_select}),
-basic AS (
-  SELECT doc_id AS id, {basic_score} AS score, 2 AS pri
-  FROM documents
-  WHERE {basic_score} > 0
-),
-unioned AS (
-  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM basic
-)
-SELECT id, score,
-       CASE pri WHEN 0 THEN 'dense' WHEN 1 THEN 'sparse' ELSE 'basic' END AS search_type
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pri ASC, score DESC) AS rk
-  FROM unioned
-) WHERE rk = 1
-ORDER BY score DESC, id ASC
-LIMIT 10
-"""
-
-
-def _terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:
-    """Tiny literal term table via pandas/Arrow (createDataFrame on a plain
-    list takes the RDD-pickle path and spins a python task)."""
-    import pandas as pd
-
-    return spark.createDataFrame(pd.DataFrame({"token": list(terms)}))
-
-
-def _hybrid_dense_basic(spark: SparkSession, sf_dir: str):
-    """(docs, dense, basic) channels shared by both hybrid variants."""
-    from darkbo_spark.operators.similarity import cosine
-
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    dense = emb.crossJoin(F.broadcast(qvec)).select(
-        F.col("vec_id").alias("id"),
-        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
-    )
-    docs = _t(spark, sf_dir, "documents")
-    basic = docs.select(
-        F.col("doc_id").alias("id"),
-        relevance_score_col(FLAGSHIP_QUERY, F.lower("text"), F.lower("source")).alias(
-            "score"
-        ),
-    ).filter(F.col("score") > 0)
-    return docs, dense, basic
-
-
-_TFIDF_SPARSE_CTES = """
-toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
-  FROM documents
-), tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
-), n AS (SELECT COUNT(*) AS n_docs FROM documents),
-idf AS (
-  SELECT token, ln((SELECT n_docs + 1 FROM n) * 1.0 / (COUNT(*) + 1)) + 1 AS idf
-  FROM tf GROUP BY token
-)""".strip()
-
-_TFIDF_SPARSE_SELECT = f"""
-  SELECT tf.doc_id AS id,
-         CAST(SUM(CAST(ROUND(tf.tf * idf.idf, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score,
-         1 AS pri
-  FROM tf JOIN idf USING (token)
-  WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
-  GROUP BY tf.doc_id
-""".strip()
-
-
-@_q("hybrid_search", _hybrid_oracle_sql(_TFIDF_SPARSE_CTES, _TFIDF_SPARSE_SELECT))
-def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.hybrid import hybrid_merge
-
-    docs, dense, basic = _hybrid_dense_basic(spark, sf_dir)
-    postings = build_postings(docs).withColumn(
-        "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
-    )
-    sparse = (
-        postings.join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
-        .groupBy("doc_id")
-        .agg(F.sum("tf_idf").cast("double").alias("score"))
-        .select(F.col("doc_id").alias("id"), "score")
-    )
-    return hybrid_merge({"dense": dense, "sparse": sparse, "basic": basic}, top_k=10)
-
-
-# the truest form of the reference's core query: dense ∪ BM25-sparse ∪ basic
-# (the reference's sparse channel IS Whoosh BM25, ai_worker.py:208-226)
-_BM25_SPARSE_SELECT = f"""
-  SELECT tf.doc_id AS id,
-         CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score,
-         1 AS pri
-  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-  WHERE token IN ({", ".join(repr(t) for t in _TFIDF_TERMS)})
-  GROUP BY tf.doc_id
-""".strip()
-
-
-@_q("hybrid_search_bm25", _hybrid_oracle_sql(_BM25_CTES.strip(), _BM25_SPARSE_SELECT))
-def hybrid_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.hybrid import hybrid_merge
-    from darkbo_spark.operators.tfidf import build_bm25_postings
-
-    docs, dense, basic = _hybrid_dense_basic(spark, sf_dir)
-    sparse = (
-        build_bm25_postings(docs)
-        .join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"))
-        .select(F.col("doc_id").alias("id"), "score")
-    )
-    return hybrid_merge({"dense": dense, "sparse": sparse, "basic": basic}, top_k=10)
-
-
-# ---------------------------------------------------------------------------
-# Hash-agg checksum (A4)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "source_checksums",
-    """
-SELECT source, sha256(string_agg(sha256(text), '' ORDER BY sha256(text))) AS checksum
-FROM documents GROUP BY source
-""",
-)
-def source_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.sha2(
-            F.concat_ws("", F.array_sort(F.collect_list(F.sha2(F.col("text"), 256)))), 256
-        ).alias("checksum")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Regex argument extraction (P5 archetype)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "regex_extract_snippets",
-    """
-SELECT doc_id, regexp_extract(text, 'table ([a-z]+)', 1) AS snippet
-FROM documents WHERE regexp_extract(text, 'table ([a-z]+)', 1) <> ''
-""",
-)
-def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    snip = F.regexp_extract("text", r"table ([a-z]+)", 1)
-    return docs.select("doc_id", snip.alias("snippet")).filter(F.col("snippet") != "")
-
-
-# ---------------------------------------------------------------------------
-# Text analysis: lang-id, quality, token counts, fingerprints
-# ---------------------------------------------------------------------------
-
-@_q(
-    "lang_id",
-    f"SELECT doc_id, {ta.sql_lang_id('text')} AS lang_guess FROM documents",
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", ta.lang_id_heuristic(F.col("text")).alias("lang_guess")
-    )
-
-
-@_q(
-    "quality_scores",
-    f"SELECT doc_id, {ta.sql_quality_score('text')} AS quality FROM documents",
-)
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", ta.quality_score(F.col("text")).alias("quality")
-    )
-
-
-@_q(
-    "token_counts_by_lang",
-    f"""
-SELECT lang, COUNT(*) AS docs, CAST(SUM({ta.sql_token_count('text')}) AS BIGINT) AS total_tokens
-FROM documents GROUP BY lang
-""",
-)
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count("*").alias("docs"),
-        F.sum(ta.token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
-    )
-
-
-@_q(
-    "doc_fingerprints",
-    f"SELECT doc_id, {ta.sql_doc_fingerprint('text')} AS fp FROM documents",
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", ta.doc_fingerprint(F.col("text")).alias("fp")
-    )
-
-
-@_q("rolling_fingerprints")  # rows-only: order-sensitivity props in pytest
-def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", ta.rolling_fingerprint(F.col("text")).alias("rfp")
-    )
-
-
-@_q(
-    "rolling_fingerprints_x",
-    f"SELECT doc_id, {ta.sql_rolling_fingerprint('text')} AS rfp FROM documents",
-)
-def rolling_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-engine-hash twin: the SAME Rabin-Karp fold with the md5-60
-    token hash, replayed value-for-value by the DuckDB oracle (xxhash64
-    form above stays the production path)."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", ta.rolling_fingerprint_portable(F.col("text")).alias("rfp")
-    )
-
-
-@_q(
-    "bpe_token_counts",
-    f"""
-SELECT doc_id, {ta.sql_token_count('text')} AS ws_tokens,
-       {ta.sql_bpe_token_count('text')} AS bpe_tokens
-FROM documents
-""",
-)
-def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # whitespace vs BPE-ish regex token counts side by side — the
-    # LLM-pipeline token estimator (punctuation-heavy text undercounts
-    # under whitespace splitting)
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        ta.token_count(F.col("text")).alias("ws_tokens"),
-        ta.bpe_token_count(F.col("text")).alias("bpe_tokens"),
-    )
-
-
-@_q("bpe_real_token_counts")  # rows-only: invariants in pytest; hash gate below
-def bpe_real_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL merge-table BPE counts (Arrow UDF) next to the native regex
-    pre-token count. Invariant carried in the output and asserted in
-    pytest: pre_tokens ≤ bpe_tokens_real ≤ length(text) — every pre-token
-    encodes to between 1 and len(word) subwords."""
-    from darkbo_spark.functions.bpe import bpe_token_count_udf
-
-    count = bpe_token_count_udf()
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        ta.bpe_token_count(F.col("text")).alias("pre_tokens"),
-        count(F.col("text")).alias("bpe_tokens_real"),
-    )
-
-
-def _bpe_oracle(id_limit: int) -> str:
-    """The ACTUAL BPE merge loop replayed in DuckDB — a recursive CTE over
-    the per-word symbol state. Key encodings:
-
-    * a word's symbol list is a STRING of chr(2)||sym||chr(3) cells, so
-      "merge every occurrence of the best pair, left to right, no rescan
-      of the merged token" is exactly SQL
-      `replace(s, ␂pa␃␂pb␃, ␂papb␃)`: the needle spans two WHOLE cells
-      (a symbol merely ending in pa / starting in pb cannot match — the
-      markers intervene) and adjacent occurrences share no characters,
-      so plain non-overlapping left-to-right replace IS _merge_word.
-      (A bare chr(1)-joined encoding fails BOTH ways: `a\\x01b` matches
-      inside ('xa','by') neighbours, and chained occurrences share their
-      delimiter so replace drops every second merge — caught by fuzzing
-      against the Python encoder.)
-    * the vendored merge table ships as a constant list of
-      'pa'||chr(4)||'pb' strings; a pair's rank is its list_position
-      (1-based, 0 = absent), and min over adjacent-pair positions is the
-      GPT-2 lowest-rank-first rule;
-    * recursion stops when no adjacent pair is in the table; each merge
-      shrinks the string by exactly two marker bytes, so the shortest
-      state per word IS the fixpoint;
-    * the DISTINCT-words inner loop mirrors the UDF's per-word LRU cache;
-    * documents containing the marker bytes \\x02-\\x04 are EXCLUDED BY
-      BOTH ENGINES (identical regex filter): such bytes would forge cell
-      boundaries in this oracle's encoding. The exclusion is part of the
-      query contract, not a silent assumption.
-    """
-    from darkbo_spark.functions.bpe import MERGES
-
-    pairs_lit = (
-        "["
-        + ", ".join("'" + (a + "\x04" + b).replace("'", "''") + "'" for a, b in MERGES)
-        + "]"
-    )
-    pre_pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
-    pa = f"string_split({pairs_lit}[br], chr(4))[1]"
-    pb = f"string_split({pairs_lit}[br], chr(4))[2]"
-    # symbol list from the cell string: strip the outer markers, split on
-    # the inter-cell boundary chr(3)||chr(2)
-    syms = "string_split(trim(s, chr(2) || chr(3)), chr(3) || chr(2))"
-    return f"""
-WITH RECURSIVE
-d AS (SELECT doc_id, text FROM documents
-      WHERE doc_id < {id_limit}
-        AND NOT regexp_matches(text, '[\\x02-\\x04]')),
-pretoks AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{pre_pat}')) AS w FROM d
-),
-words AS (SELECT DISTINCT w FROM pretoks),
-enc(w, s) AS (
-  SELECT w, array_to_string(list_transform(string_split(w, ''),
-                            c -> chr(2) || c || chr(3)), '')
-  FROM words
-  UNION ALL
-  SELECT w, replace(s,
-                    chr(2) || {pa} || chr(3) || chr(2) || {pb} || chr(3),
-                    chr(2) || {pa} || {pb} || chr(3))
-  FROM (
-    SELECT w, s,
-      list_min(list_filter(
-        list_transform(range(1, len({syms})),
-          i -> list_position({pairs_lit},
-                 {syms}[i] || chr(4) || {syms}[i+1])),
-        x -> x > 0)) AS br
-    FROM enc
-  )
-  WHERE br IS NOT NULL
-),
-final AS (
-  SELECT w, s FROM (
-    SELECT w, s, ROW_NUMBER() OVER (PARTITION BY w ORDER BY length(s) ASC) AS rn
-    FROM enc
-  ) WHERE rn = 1
-),
-counts AS (SELECT w, len({syms}) AS n FROM final)
-SELECT p.doc_id, CAST(SUM(c.n) AS BIGINT) AS bpe_tokens_real
-FROM pretoks p JOIN counts c USING (w)
-GROUP BY p.doc_id
-ORDER BY p.doc_id
-"""
-
-
-@_q("bpe_real_token_counts_x", _bpe_oracle(300))
-def bpe_real_tokens_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real BPE driver-oracled: the Arrow encode UDF (vendored merge table,
-    GPT-2 lowest-rank-first application) hash-verified against the
-    recursive-CTE merge-loop replay in _bpe_oracle."""
-    from darkbo_spark.functions.bpe import bpe_token_count_udf
-
-    count = bpe_token_count_udf()
-    return (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
-        # mirror of the oracle's marker-byte exclusion (see _bpe_oracle)
-        .filter(~F.col("text").rlike("[\\x02-\\x04]"))
-        .select(
-            "doc_id", count(F.col("text")).cast("bigint").alias("bpe_tokens_real")
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dedup family
-# ---------------------------------------------------------------------------
-
-@_q(
-    "exact_dedup_docs",
-    "SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
-)
-def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id").select(
-        "fingerprint", "doc_id"
-    )
-
-
-_JACCARD_ORACLE = """
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
-  FROM documents WHERE doc_id < 60
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM toks a JOIN toks b USING (token)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b,
-       ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
-"""
-
-
-@_q("token_jaccard_pairs", _JACCARD_ORACLE)
-def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    return token_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
-
-
-# composite training-data filter — the operators chained the way a corpus
-# pipeline actually uses them: language gate → quality gate → exact dedup
-# (first doc_id per fingerprint wins)
-_TRAIN_FILTER_ORACLE = f"""
-WITH gated AS (
-  SELECT doc_id, md5(text) AS fingerprint
-  FROM documents
-  WHERE {ta.sql_lang_id('text')} = 'en_like' AND {ta.sql_quality_score('text')} >= 0.7
-)
-SELECT fingerprint, MIN(doc_id) AS doc_id
-FROM gated GROUP BY fingerprint
-"""
-
-
-@_q("training_data_filter", _TRAIN_FILTER_ORACLE)
-def training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    gated = docs.filter(
-        (ta.lang_id_heuristic(F.col("text")) == "en_like")
-        & (ta.quality_score(F.col("text")) >= 0.7)
-    )
-    return exact_dedup(gated, "text", "doc_id").select("fingerprint", "doc_id")
-
-
-_COSINE_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-"""
-
-
-@_q("cosine_neardup_pairs", _COSINE_NEARDUP_ORACLE)
-def cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.dedup import cosine_neardup_pairs
-
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 300)
-        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
-    )
-    return cosine_neardup_pairs(emb, "embedding", "vec_id", min_cosine=0.4)
-
-
-@_q("ann_ivf_topk")  # rows-only: exact-at-full-probe + recall floor in pytest
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.similarity import ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4).select(
-        "qid", "doc_id", "score"
-    )
-
-
-# multi-query brute-force cosine top-5 — the shared oracle for the ANN
-# exactness points below (full-probe IVF / exhaustive-probe LSH provably
-# equal brute force; the equality is ALSO asserted in pytest)
-_DENSE_MULTI_ORACLE = """
-WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 3),
-scored AS (
-  SELECT q.qid, e.vec_id AS doc_id,
-         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qvec)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
-  FROM embeddings e, q
-), ranked AS (
-  SELECT qid, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
-  FROM scored
-)
-SELECT qid, doc_id, score FROM ranked WHERE rk <= 5
-"""
-
-
-def _ann_inputs(spark: SparkSession, sf_dir: str):
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    return emb, queries
-
-
-@_q("ann_ivf_full_probe", _DENSE_MULTI_ORACLE)
-def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF at n_probe == n_cells: every query scores every cell, so the
-    candidate set is the whole corpus and the result EQUALS brute force —
-    the ANN machinery (cell assignment, probe ranking, per-cell join)
-    driver-verified against the exact cosine oracle."""
-    from darkbo_spark.operators.similarity import ivf_topk
-
-    emb, queries = _ann_inputs(spark, sf_dir)
-    return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=16).select(
-        "qid", "doc_id", "score"
-    )
-
-
-@_q("ann_multiprobe_exact", _DENSE_MULTI_ORACLE)
-def ann_multiprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH at exhaustive coverage: with n_planes=1 there are
-    exactly two buckets and Hamming-1 probing visits both, so every
-    (query, doc) pair is a candidate and the result EQUALS brute force —
-    the multi-table/multi-probe plumbing driver-verified exactly."""
-    from darkbo_spark.operators.similarity import lsh_topk_multi
-
-    emb, queries = _ann_inputs(spark, sf_dir)
-    return lsh_topk_multi(
-        emb, queries, dim=64, k=5, n_planes=1, n_tables=2, multiprobe=True
-    ).select("qid", "doc_id", "score")
-
-
-@_q("ann_ivf_stored", _DENSE_MULTI_ORACLE)
-def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12 end-to-end: the IVF index (doc_id, embedding, cell) is published
-    once as a SnapshotTable PARTITIONED BY cell, and the query serves from
-    the STORED table with a literal probe-cell filter — a cell-partitioned
-    store prunes partitions at the scan (PartitionFilters gated in
-    docs/PLANS.md). Run here at full probe so the result provably equals
-    brute force and the driver hash-verifies store+serve end to end; the
-    selective n_probe<cells form is equality-tested against the in-plan
-    ivf_topk in tests/test_similarity.py."""
-    from darkbo_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_topk_stored,
-        train_ivf_centroids,
-    )
-
-    emb, queries = _ann_inputs(spark, sf_dir)
-    # deterministic quantizer: same seeded sample → same centroids at
-    # publish and query time (the production analog stores them in meta)
-    centroids = train_ivf_centroids(emb, dim=64, n_cells=16)
-    table = _stored_table(
-        sf_dir,
-        "ivf_index",
-        "embeddings",
-        lambda: build_ivf_index(emb, dim=64, n_cells=16, centroids=centroids)[0],
-        partition_by=["cell"],
-    )
-    stored = table.read(spark)
-    return ivf_topk_stored(stored, queries, centroids, k=5, n_probe=16).select(
-        "qid", "doc_id", "score"
-    )
-
-
-# ONE limit constant shared by the Spark corpus, its SQL twin, and the
-# portable-minhash oracle builder — a single knob, so the two sides can
-# never desync on corpus size
-_NEARDUP_ID_LIMIT = 200
-
-
-def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents(doc_id<_NEARDUP_ID_LIMIT) plus PLANTED near-duplicates:
-    docs 0..19 re-appear as doc_id+100000 with one appended token. The
-    word-salad corpora differ per scale factor, and at sf0.1 the first 200
-    docs happen to contain no natural near-dups — planting guarantees the
-    LSH queries return real pairs at EVERY sf instead of being data-lucky."""
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _NEARDUP_ID_LIMIT)
-        .select("doc_id", "text")
-    )
-    dups = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" planted near duplicate")).alias("text"),
-    )
-    return docs.unionByName(dups)
-
-
-# dialect-neutral SQL rendering of the SAME corpus (for the DuckDB twins)
-_NEARDUP_CORPUS_SQL = f"""
-(SELECT doc_id, text FROM documents WHERE doc_id < {_NEARDUP_ID_LIMIT}
- UNION ALL
- SELECT doc_id + 100000 AS doc_id, text || ' planted near duplicate' AS text
- FROM documents WHERE doc_id < 20)
-"""
-
-
-@_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _neardup_corpus(spark, sf_dir)
-    return minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4)
-
-
-@_q("simhash_docs")  # rows-only: determinism + hamming properties in pytest
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash(docs, "text", "doc_id")
-
-
-@_q("simhash_neardup_pairs")  # rows-only: banded == brute-force in pytest
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.dedup import simhash_neardup_pairs
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
-
-
-def _simhash_sig_oracle(id_limit: int) -> str:
-    """Portable 60-bit SimHash SIGNATURES (the tf-weighted bit-vote packing
-    itself, not just the banded pairs) — the sims CTE of the pairs oracle,
-    projected directly."""
-    nbits = 60
-    votes = ",\n         ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
-        for i in range(nbits)
-    )
-    pack = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS token
-  FROM documents WHERE doc_id < {id_limit}
-), tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
-  GROUP BY doc_id, token
-), h AS (
-  SELECT doc_id, tf,
-         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
-  FROM tf
-), agg AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM agg
-ORDER BY doc_id
-"""
-
-
-@_q("simhash_docs_x", _simhash_sig_oracle(200))
-def simhash_docs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The signature computation itself hash-oracled in portable mode
-    (60-bit md5 hash; xxhash64 `simhash_docs` above stays production)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash(docs, "text", "doc_id", hash_mode="portable")
-
-
-# ---------------------------------------------------------------------------
-# Cross-engine-hash twins: the SAME MinHash-LSH / SimHash banding pipelines
-# with hash_mode="portable" (md5-60 instead of xxhash64), so DuckDB replays
-# the IDENTICAL algorithm end-to-end and the driver hash-verifies the
-# output. The xxhash64 form stays the production path; these twins prove
-# the banding/cap/self-join machinery bit-for-bit.
-# ---------------------------------------------------------------------------
-
-# the portable 60-bit hash, in each engine's dialect (values verified equal)
-_PH60_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
-
-
-def _minhash_portable_oracle(
-    k: int, bands: int, n: int, seed: int, max_bucket: int
-) -> str:
-    # corpus size comes from _NEARDUP_CORPUS_SQL's shared _NEARDUP_ID_LIMIT
-    # (no separate limit knob here — the two sides can't desync)
-    from darkbo_spark.operators.dedup import _MERSENNE_P, _perm_constants
-
-    consts = _perm_constants(k, seed)
-    r = k // bands
-    mins = ",\n         ".join(
-        f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS m{i}"
-        for i, (a, b) in enumerate(consts)
-    )
-    band_rows = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat_ws(',', "
-        + ", ".join(f"m{b * r + j}" for j in range(r))
-        + ") AS bucket FROM sig"
-        for b in range(bands)
-    )
-    # corpus = documents prefix + planted near-dups (see _NEARDUP_CORPUS_SQL)
-    return f"""
-WITH docs AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
-              FROM {_NEARDUP_CORPUS_SQL} base),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(0, greatest(len(toks) - {n}, 0) + 1),
-                i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS shingle
-  FROM docs
-), hashed AS (
-  SELECT doc_id, {_PH60_DUCK.format(s='shingle')} % {_MERSENNE_P} AS h FROM sh
-), sig AS (
-  SELECT doc_id, {mins}
-  FROM hashed GROUP BY doc_id
-), banded AS (
-  {band_rows}
-), sizes AS (SELECT band, bucket, COUNT(*) AS sz FROM banded GROUP BY band, bucket),
-capped AS (
-  SELECT banded.doc_id, banded.band, banded.bucket
-  FROM banded JOIN sizes USING (band, bucket) WHERE sz <= {max_bucket}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-ORDER BY id_a, id_b
-"""
-
-
-def _simhash_portable_oracle(max_hamming: int, max_bucket: int, id_limit: int) -> str:
-    nbits = 60
-    n_bands = max_hamming + 1
-    # Spark's last band absorbs the remainder bits (dedup.py mask -1); this
-    # oracle masks every band to a FIXED width — the two agree only when
-    # the bands divide nbits evenly, so refuse any other configuration
-    # rather than silently generating a diverging oracle
-    assert nbits % n_bands == 0, (
-        f"portable simhash oracle requires (max_hamming+1) | {nbits}; "
-        f"got max_hamming={max_hamming} → {n_bands} bands"
-    )
-    width = nbits // n_bands
-    votes = ",\n         ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
-        for i in range(nbits)
-    )
-    pack = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
-    )
-    band_rows = "\n  UNION ALL ".join(
-        f"SELECT doc_id, sim, {i} AS band,"
-        f" (sim >> {i * width}) & {(1 << width) - 1} AS bits FROM sims"
-        for i in range(n_bands)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS token
-  FROM documents WHERE doc_id < {id_limit}
-), tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY doc_id, token
-), h AS (
-  SELECT doc_id, tf, {_PH60_DUCK.format(s='token')} AS h FROM tf
-), agg AS (
-  SELECT doc_id, {votes}
-  FROM h GROUP BY doc_id
-), sims AS (
-  SELECT doc_id, CAST({pack} AS BIGINT) AS sim FROM agg
-), banded AS (
-  {band_rows}
-), sizes AS (SELECT band, bits, COUNT(*) AS sz FROM banded GROUP BY band, bits),
-capped AS (
-  SELECT banded.doc_id, banded.sim, banded.band, banded.bits
-  FROM banded JOIN sizes USING (band, bits) WHERE sz <= {max_bucket}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
-ORDER BY id_a, id_b
-"""
-
-
-@_q("minhash_lsh_pairs_x", _minhash_portable_oracle(16, 4, 3, 42, 500))
-def minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _neardup_corpus(spark, sf_dir)
-    return minhash_lsh_pairs(
-        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
-    )
-
-
-@_q("simhash_neardup_pairs_x", _simhash_portable_oracle(3, 500, 200))
-def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.dedup import simhash_neardup_pairs
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_neardup_pairs(
-        docs, "text", "doc_id", max_hamming=3, hash_mode="portable", persist=False
-    )
-
-
-# ---------------------------------------------------------------------------
-# Window / sessionization / JSON ops over events
-# ---------------------------------------------------------------------------
-
-@_q(
-    "running_totals",
-    """
-SELECT user_id, event_id, ts,
-       ROW_NUMBER() OVER w AS seq,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value
-FROM events WHERE user_id < 50
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-""",
-)
-def running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    return running_totals(ev)
-
-
-@_q(
-    "sessionize_events",
-    """
-WITH gaps AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN ts - LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
-  FROM events WHERE user_id < 50
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-)
-SELECT user_id, event_id, ts,
-       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_seq
-FROM gaps
-""",
-)
-def sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    return sessionize(ev, gap_minutes=30)
-
-
-@_q(
-    "json_props_agg",
-    """
-SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY event_type
-""",
-)
-def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return json_prop(_t(spark, sf_dir, "events"))
-
-
-# ---------------------------------------------------------------------------
-# Window-function family (rank/lag/lead over event streams)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "window_rank_lag",
-    """
-SELECT user_id, event_id,
-       RANK() OVER w AS rnk,
-       LAG(event_id) OVER w AS prev_event,
-       LEAD(event_id) OVER w AS next_event
-FROM events WHERE user_id < 20
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-""",
-)
-def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.rank().over(w).alias("rnk"),
-        F.lag("event_id").over(w).alias("prev_event"),
-        F.lead("event_id").over(w).alias("next_event"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Exact percentiles (continuous interpolation — identical in both engines)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "value_percentiles",
-    """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.95), 6) AS p95
-FROM events GROUP BY event_type
-""",
-)
-def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# CUBE + pivot-style conditional aggregation over events
-# ---------------------------------------------------------------------------
-
-@_q(
-    "cube_event_stats",
-    """
-SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_band, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY CUBE (event_type, CAST(user_id % 4 AS BIGINT))
-""",
-)
-def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "user_band", (F.col("user_id") % 4).cast("bigint")
-    )
-    return ev.cube("event_type", "user_band").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
-    )
-
-
-@_q(
-    "pivot_event_counts",
-    """
-SELECT user_id,
-       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
-       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS views,
-       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
-       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signups,
-       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS errors
-FROM events WHERE user_id < 100 GROUP BY user_id
-""",
-)
-def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pivot re-expressed as conditional aggregation (identical plan shape to
-    # df.groupBy().pivot() with a known value set, but portable to ANSI SQL)
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    aggs = [
-        F.count(F.when(F.col("event_type") == t, 1)).alias(name)
-        for t, name in [
-            ("click", "clicks"), ("view", "views"), ("purchase", "purchases"),
-            ("signup", "signups"), ("error", "errors"),
-        ]
-    ]
-    return ev.groupBy("user_id").agg(*aggs)
-
-
-# ---------------------------------------------------------------------------
-# Sketches — the 100 TB forms of quantiles and distinct counts. The exact
-# twins are oracled; the sketch variants are rows-only with accuracy-vs-
-# exact assertions in pytest (sketch internals aren't cross-engine).
-# ---------------------------------------------------------------------------
-
-@_q(
-    "user_counts_exact",
-    """
-SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
-FROM events GROUP BY event_type
-""",
-)
-def user_counts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.count("*").alias("n"),
-        )
-    )
-
-
-@_q("user_counts_sketch")  # rows-only: HLL error bound asserted in pytest
-def user_counts_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approx_count_distinct (HyperLogLog++) — the scale path: one pass, no
-    # per-key distinct shuffle explosion, mergeable partial sketches
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("users_approx"))
-    )
-
-
-@_q(
-    "heavy_hitters_exact",
-    """
-SELECT user_id, COUNT(*) AS n
-FROM events GROUP BY user_id
-ORDER BY n DESC, user_id ASC
-LIMIT 10
-""",
-)
-def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the exact twin of the frequent-items sketch: head-entity detection is
-    # the input to skew defenses (salting keys, bucket caps) at 100 TB
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("user_id"))
-        .limit(10)
-    )
-
-
-@_q("heavy_hitters_sketch")  # rows-only: superset-of-true-HH asserted in pytest
-def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-items sketch (Karp-Papadimitriou-Shenker via
-    df.stat.freqItems) — one pass, mergeable, bounded memory: the 100 TB
-    form of "which keys are skewed enough to salt". Guarantee: every item
-    with frequency ≥ support is returned (false positives possible, false
-    negatives not) — that superset property is what a skew defense needs
-    and is asserted against exact counts in pytest."""
-    hh = _t(spark, sf_dir, "events").stat.freqItems(["user_id"], support=0.005)
-    return (
-        hh.select(F.explode("user_id_freqItems").alias("user_id"))
-        .orderBy(F.asc("user_id"))
-    )
-
-
-@_q("value_percentiles_sketch")  # rows-only: error vs exact asserted in pytest
-def value_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approx_percentile (Greenwald-Khanna style sketch) — mergeable,
-    # bounded-memory; the exact twin is the oracled value_percentiles
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50_approx"),
-            F.round(F.expr("approx_percentile(value, 0.95, 10000)"), 6).alias("p95_approx"),
-        )
-    )
-
-
-@_q(
-    "grouping_sets_events",
-    """
-SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_band, COUNT(*) AS n
-FROM events
-GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 4 AS BIGINT)), ())
-""",
-)
-def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # explicit GROUPING SETS (the general form behind cube/rollup) — SQL is
-    # the idiomatic Spark surface for it
-    _t(spark, sf_dir, "events").withColumn(
-        "user_band", (F.col("user_id") % 4).cast("bigint")
-    ).createOrReplaceTempView("_gs_events")
-    return spark.sql(
-        """
-        SELECT event_type, user_band, COUNT(*) AS n
-        FROM _gs_events
-        GROUP BY GROUPING SETS ((event_type), (user_band), ())
-        """
-    )
-
-
-# ---------------------------------------------------------------------------
-# Range join: events inside each user's first-3-day window (equality on user
-# + ts-range predicate — the equality key carries the shuffle, the range is
-# a post-join filter, so the plan stays a hash join, not a theta product)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "events_in_first_window",
-    """
-WITH w AS (
-  SELECT user_id, MIN(ts) AS w_start FROM events WHERE user_id < 50 GROUP BY user_id
-)
-SELECT w.user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM w
-JOIN events e
-  ON e.user_id = w.user_id
- AND e.ts >= w.w_start
- AND e.ts < w.w_start + INTERVAL 3 DAY
-GROUP BY w.user_id
-""",
-)
-def events_in_first_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    w = (
-        e.filter(F.col("user_id") < 50)
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("w_start"))
-    )
-    joined = e.alias("e").join(
-        w.alias("w"),
-        (F.col("e.user_id") == F.col("w.user_id"))
-        & (F.col("e.ts") >= F.col("w.w_start"))
-        & (F.col("e.ts") < F.col("w.w_start") + F.expr("INTERVAL 3 DAY")),
-    )
-    return joined.groupBy(F.col("w.user_id").alias("user_id")).agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("e.value").cast("decimal(18,6)")).cast("double").alias("total_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q5-shaped 5-table join chain (dims broadcast, facts shuffle once)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "q5_local_supplier_volume",
-    """
-SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
-FROM customer c
-JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
-JOIN nation n   ON n.n_nationkey = c.c_nationkey
-WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-GROUP BY n.n_name
-""",
-)
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
-        )
-        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
-        .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Join chains (broadcast dims) + grouped rollup
-# ---------------------------------------------------------------------------
-
-@_q(
-    "region_rollup",
-    """
-SELECT r.r_name, COUNT(DISTINCT n.n_nationkey) AS nations, COUNT(*) AS customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
-FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-JOIN customer c ON c.c_nationkey = n.n_nationkey
-GROUP BY r.r_name
-""",
-)
-def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.countDistinct("n_nationkey").alias("nations"),
-            F.count("*").alias("customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_acctbal"),
-        )
-    )
-
-
-@_q(
-    "q3_top_unshipped",
-    """
-SELECT o.o_orderkey, o.o_orderdate,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
-FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY o.o_orderkey, o.o_orderdate
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
-""",
-)
-def q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# As-of join (beyond-reference; merge form — no row blow-up)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "asof_events_orders",
-    """
-WITH cand AS (
-  SELECT e.event_id, e.user_id, o.o_orderkey,
-         ROW_NUMBER() OVER (PARTITION BY e.event_id
-                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
-  FROM events e
-  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-  WHERE e.user_id < 30
-)
-SELECT event_id, user_id, o_orderkey AS asof_o_orderkey FROM cand WHERE rk = 1
-""",
-)
-def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.asof import as_of_join
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30).select(
-        "event_id", "user_id", "ts"
-    )
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30).select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
-    )
-    return as_of_join(
-        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
-        right_payload="o_orderkey", how="inner",
-    ).select("event_id", "user_id", "asof_o_orderkey")
-
-
-# ---------------------------------------------------------------------------
-# Rollup (beyond-reference grouping sets)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "rollup_lineitem",
-    """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       COUNT(*) AS n
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-)
-def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
-        F.count("*").alias("n"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Cross-engine deterministic ids
-# ---------------------------------------------------------------------------
-
-@_q(
-    "content_ids",
-    "SELECT doc_id, substr(sha256('doc:' || CAST(doc_id AS VARCHAR)), 1, 32) AS content_id FROM documents",
-)
-def content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", sha256_id_col("doc", F.col("doc_id").cast("string")).alias("content_id")
-    )
-
-
-@_q(
-    "repetition_signals",
-    f"""
-SELECT doc_id, {ta.sql_dup_token_fraction('text')} AS dup_token_frac,
-       {ta.sql_top_bigram_fraction('text')} AS top_bigram_frac
-FROM documents WHERE doc_id < 300
-ORDER BY doc_id
-""",
-)
-def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters (duplicate-token fraction and the
-    most-frequent-bigram share) — the looping/boilerplate detectors every
-    training-data pipeline runs next to quality_scores. Native per-row
-    array expressions, no shuffle, both hash-oracled."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return d.select(
-        "doc_id",
-        ta.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
-        ta.top_bigram_fraction(F.col("text")).alias("top_bigram_frac"),
-    )
-
-
-@_q(
-    "unigram_logprob_scores",
-    f"""
-SELECT doc_id, {ta.sql_unigram_logprob('text')} AS mean_logprob
-FROM documents WHERE doc_id < 300
-ORDER BY doc_id
-""",
-)
-def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The model-based quality filter: mean token ln-probability under the
-    deterministic add-one unigram LM (trained at import on the embedded
-    corpus — the seam where a real KenLM/LLM scorer plugs in). Vocab and
-    log tables inline as constants in BOTH engines, the fold runs in token
-    order, so the driver hash covers the whole scoring chain."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return d.select(
-        "doc_id", ta.unigram_logprob(F.col("text")).alias("mean_logprob")
-    )
-
-
-# dialect-neutral PII-bearing suffix planted onto document text (the word
-# salad contains no emails/phones of its own)
-_PII_SUFFIX_SQL = (
-    "' contact user' || CAST(doc_id % 50 AS STRING) || '@Mail' "
-    "|| CAST(doc_id % 7 AS STRING) || '.example.com or call ' "
-    "|| (CASE doc_id % 3 WHEN 0 THEN '(555)-12' WHEN 1 THEN '555.12' "
-    "ELSE '555 12' END) || CAST(doc_id % 10 AS STRING) || '-4567 today'"
-)
-
-
-@_q(
-    "redact_pii_docs",
-    f"""
-SELECT doc_id, {ta.sql_redact_pii(f"text || {_PII_SUFFIX_SQL}")} AS redacted
-FROM documents WHERE doc_id < 300
-ORDER BY doc_id
-""",
-)
-def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub pass driver-verified byte-for-byte: emails and phone
-    numbers (several spellings) planted into the text and replaced with
-    typed placeholders by the identical regex chain in both engines."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    dirty = F.concat(F.col("text"), F.expr(_PII_SUFFIX_SQL))
-    return d.select("doc_id", ta.redact_pii(dirty).alias("redacted"))
-
-
-# ---------------------------------------------------------------------------
-# URL canonicalization + canonical-URL dedup (web-pipeline staple) — messy
-# URLs constructed dialect-neutrally from order keys; the canonicalizer is
-# functions/urlnorm.py (native, zero UDF) with its exact DuckDB twin
-# ---------------------------------------------------------------------------
-
-from darkbo_spark.functions.urlnorm import canonical_url, sql_canonical_url  # noqa: E402
-
-# mixed-case schemes, default and explicit ports, trailing slashes, unsorted
-# query params, fragments — every canonicalization rule gets exercised
-_RAW_URL_SQL = (
-    "(CASE o_orderkey % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'"
-    " WHEN 2 THEN 'HtTp' ELSE 'HTTP' END)"
-    " || '://WWW.Site' || CAST(o_orderkey % 7 AS STRING) || '.COM'"
-    " || (CASE o_orderkey % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'"
-    " WHEN 2 THEN ':8080' ELSE '' END)"
-    " || (CASE WHEN o_orderkey % 11 = 0 THEN ''"
-    " ELSE '/Dir' || CAST(o_orderkey % 5 AS STRING)"
-    " || (CASE o_orderkey % 3 WHEN 0 THEN '/' ELSE '' END) END)"
-    " || (CASE o_orderkey % 2 WHEN 0 THEN"
-    " '?zz=' || CAST(o_orderkey % 3 AS STRING)"
-    " || '&aa=' || CAST(o_orderkey % 4 AS STRING) ELSE '' END)"
-    " || (CASE o_orderkey % 3 WHEN 0 THEN '#Sec'"
-    " || CAST(o_orderkey % 2 AS STRING) ELSE '' END)"
-)
-
-_URL_LIMIT = 5000
-
-
-@_q(
-    "url_canonicalize",
-    f"""
-SELECT o_orderkey, {_RAW_URL_SQL} AS url,
-       {sql_canonical_url(_RAW_URL_SQL)} AS canon
-FROM orders WHERE o_orderkey < {_URL_LIMIT}
-ORDER BY o_orderkey
-""",
-)
-def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every rule driver-verified: lowercase scheme/host, fragment strip,
-    default-port drop (http:80/https:443) with non-default ports kept,
-    single trailing-slash strip, lexicographic query-param sort."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < _URL_LIMIT)
-    url = F.expr(_RAW_URL_SQL)
-    return o.select("o_orderkey", url.alias("url"), canonical_url(url).alias("canon"))
-
-
-@_q(
-    "url_dedup_counts",
-    f"""
-SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants
-FROM (SELECT {sql_canonical_url(_RAW_URL_SQL)} AS canon
-      FROM orders WHERE o_orderkey < {_URL_LIMIT})
-GROUP BY canon
-HAVING COUNT(*) > 1
-ORDER BY canon
-""",
-)
-def url_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL dedup: distinct raw spellings collapsing onto one
-    canonical form — the hash-groupBy that removes refetch duplicates at
-    crawl scale (exact dedup's URL-keyed sibling)."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < _URL_LIMIT)
-    canon = canonical_url(F.expr(_RAW_URL_SQL))
-    return (
-        o.select(canon.alias("canon"))
-        .groupBy("canon")
-        .agg(F.count("*").alias("n_variants"))
-        .filter(F.col("n_variants") > 1)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Keyword routing predicate (P4) — pseudo-questions built from part names
-# ---------------------------------------------------------------------------
-
-from darkbo_spark.operators.routing import route_query, route_query_sql  # noqa: E402
-
-_ROUTE_Q = "concat('what is the latest ', p_type, ' available today')"
-
-
-@_q(
-    "route_queries",
-    f"""
-SELECT p_partkey, {route_query_sql(_ROUTE_Q)} AS route
-FROM part
-""",
-)
-def route_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    question = F.concat(
-        F.lit("what is the latest "), F.col("p_type"), F.lit(" available today")
-    )
-    return p.select("p_partkey", route_query(question).alias("route"))
-
-
-# ---------------------------------------------------------------------------
-# Chunking (P2) — rows-only (byte-exact python chunker; pytest-verified)
-# ---------------------------------------------------------------------------
-
-@_q("chunk_documents")
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.functions.textnorm import create_chunks_udf
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.posexplode(create_chunks_udf(F.col("text"))).alias("chunk_index", "chunk"),
-    )
-
-
-def _chunks_oracle(id_limit: int, reps: int) -> str:
-    """DuckDB replay of reference_impl.create_chunks (1000-char windows,
-    100 overlap, end snapped to the LAST sentence boundary in the trailing
-    200 chars): a RECURSIVE CTE carries the chunk `start` cursor; the
-    last-boundary offset is the length of the greedy '(?s)^.*[.!?]\\s+'
-    match over the 200-char snap window (greedy ^.* pins the match to the
-    final boundary, exactly finditer()[-1].end()). Python strip() is
-    replayed as a whitespace-regex trim (DuckDB trim() drops spaces only).
-    The word-salad documents rows are short and unpunctuated, so the input
-    is `repeat(text || '. ', reps)` — long enough to chunk, with real
-    sentence boundaries to snap to — built by the same dialect-neutral
-    expression on the Spark side."""
-    snap = (
-        "length(regexp_extract(substr(text, start + 801, 200),"
-        " '(?s)^.*[.!?]\\s+', 0))"
-    )
-    end_snapped = (
-        f"CASE WHEN start + 1000 < n THEN"
-        f" CASE WHEN {snap} > 0 THEN start + 800 + {snap}"
-        f" ELSE start + 1000 END"
-        f" ELSE {{tail}} END"
-    )
-    return f"""
-WITH RECURSIVE docs AS (
-  SELECT doc_id, repeat(text || '. ', {reps}) AS text
-  FROM documents WHERE doc_id < {id_limit}
-),
-d AS (SELECT doc_id, text, length(text) AS n FROM docs),
-rec(doc_id, text, n, start) AS (
-  SELECT doc_id, text, n, 0 FROM d WHERE n > 1000 AND text <> ''
-  UNION ALL
-  SELECT doc_id, text, n, greatest(start + 900, end_)
-  FROM (
-    SELECT doc_id, text, n, start,
-           ({end_snapped.format(tail="start + 1000")}) AS end_
-    FROM rec
-  )
-  WHERE greatest(start + 900, end_) < n
-),
-long_pieces AS (
-  SELECT doc_id, start,
-         regexp_replace(substr(text, start + 1,
-           ({end_snapped.format(tail="n")}) - start),
-           '^\\s+|\\s+$', '', 'g') AS piece
-  FROM rec
-),
-short_pieces AS (
-  SELECT doc_id, 0 AS start, text AS piece FROM d WHERE n <= 1000 AND text <> ''
-),
-all_pieces AS (
-  SELECT doc_id, start, piece FROM long_pieces WHERE piece <> ''
-  UNION ALL SELECT doc_id, start, piece FROM short_pieces
-)
-SELECT doc_id,
-       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_index,
-       piece AS chunk
-FROM all_pieces
-ORDER BY doc_id, chunk_index
-"""
-
-
-@_q("chunk_documents_x", _chunks_oracle(150, 7))
-def chunk_documents_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 driver-oracled: the REAL Arrow chunker UDF (byte-exact
-    reference_impl.create_chunks) over sentence-punctuated long text, vs
-    the recursive-CTE DuckDB replay — multi-chunk windows, overlap and
-    boundary snapping all hash-verified (the plain `chunk_documents` query
-    keeps the raw short rows, where chunking is the identity)."""
-    from darkbo_spark.functions.textnorm import create_chunks_udf
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    long = docs.select(
-        "doc_id", F.expr("repeat(text || '. ', 7)").alias("text")
-    )
-    return long.select(
-        "doc_id",
-        F.posexplode(create_chunks_udf(F.col("text"))).alias("chunk_index", "chunk"),
-    ).withColumn("chunk_index", F.col("chunk_index").cast("bigint"))
-
-
-# ---------------------------------------------------------------------------
-# Title derivation (P8)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "title_derivation",
-    """
-SELECT p_partkey,
-       array_to_string(
-         list_transform(string_split(replace(replace(p_name, '_', ' '), '-', ' '), ' '),
-                        w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))),
-         ' ') AS title
-FROM part
-""",
-)
-def title_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    base = F.translate(F.col("p_name"), "_-", "  ")
-    return p.select("p_partkey", F.initcap(base).alias("title"))
-
-
-# ---------------------------------------------------------------------------
-# Byte-identical clean_text parity (P1) — UDF vs DuckDB RE2 chain (ASCII corpus)
-# ---------------------------------------------------------------------------
-
-# \s is spelled as an explicit class: Python/Java \s includes \x0B, RE2's
-# does not (ASCII corpus assumption for \w stands, as documented)
-_CLEAN_ORACLE = r"""
-WITH c1 AS (SELECT doc_id, regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g') AS t FROM documents),
-c2 AS (SELECT doc_id, regexp_replace(t, '[^\w \t\n\r\f\x0B.,;:!?\-()\[\]"''/]', ' ', 'g') AS t FROM c1),
-c3 AS (SELECT doc_id, regexp_replace(t, '\.{3,}', '...', 'g') AS t FROM c2),
-c4 AS (SELECT doc_id, regexp_replace(t, '-{3,}', '---', 'g') AS t FROM c3),
-c5 AS (SELECT doc_id, regexp_replace(t, '[ \t\n\r\f\x0B]+([,.;:!?])', '\1', 'g') AS t FROM c4),
-c6 AS (SELECT doc_id, regexp_replace(t, '([,.;:!?])[ \t\n\r\f\x0B]*([,.;:!?])', '\1 \2', 'g') AS t FROM c5),
-c7 AS (SELECT doc_id, trim(t) AS line FROM c6)
-SELECT doc_id,
-       md5(CASE WHEN length(line) > 10 OR (length(line) > 3 AND regexp_matches(line, '[A-Za-z]'))
-                THEN line ELSE '' END) AS clean_fp
-FROM c7
-"""
-
-
-@_q("clean_text_parity", _CLEAN_ORACLE)
-def clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.functions.textnorm import clean_text_udf
-
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(clean_text_udf(F.col("text"))).alias("clean_fp")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Embedding + multimodal operators (rows-only — deterministic-stub codecs;
-# plumbing verified in tests/test_multimodal.py and tests/test_embed.py)
-# ---------------------------------------------------------------------------
-
-def _embed_x_oracle() -> str:
-    from darkbo_spark.kg.oracle_twin import enc_cte
-
-    return f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-{enc_cte('d', 'doc_id', 'text', quantize=True).lstrip()}
-SELECT key AS doc_id, dim, val FROM enc_cell
-ORDER BY doc_id, dim
-"""
-
-
-@_q("embed_documents_x", _embed_x_oracle())
-def embed_documents_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 driver-oracled: the REAL scalar-iterator Arrow encode UDF vs the
-    ONE shared SQL replay of the md5 hash-projection encoder
-    (kg/oracle_twin.enc_cte — bucket = first md5 byte % 64, sign =
-    second-byte parity, L2 normalize, round 6, then float32 quantization
-    exactly as the Spark float→double cast applies it). The array column
-    is EXPLODED to (doc_id, dim, val) rows because the driver
-    canonicalizer rejects arrays; with the quantization replayed the
-    compared doubles are BIT-identical, no re-rounding needed."""
-    from darkbo_spark.functions.embed import embed_udf
-
-    emb = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", embed_udf(F.col("text")).alias("embedding"))
-    )
-    return emb.select(
-        "doc_id", F.posexplode("embedding").alias("dim", "v")
-    ).select(
-        "doc_id",
-        F.col("dim").cast("bigint").alias("dim"),
-        F.col("v").cast("double").alias("val"),
-    )
-
-
-@_q("embed_documents")
-def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The raw array<float> column crashes the driver's pandas canonicalizer
-    # (lists are unhashable), so the driver-facing query projects a stable
-    # scalar fingerprint; pytest (tests/test_embed.py) covers the raw vectors.
-    from darkbo_spark.functions.embed import embed_udf
-
-    emb = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", embed_udf(F.col("text")).alias("embedding"))
-    )
-    return emb.select(
-        "doc_id",
-        F.size("embedding").alias("dim"),
-        F.md5(F.to_json(F.col("embedding"))).alias("embedding_fp"),
-    )
-
-
-@_q("media_decode")
-def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.multimodal.binary_ops import decode_metadata, synth_media
-
-    return decode_metadata(synth_media(spark, 200))
-
-
-@_q("media_features")
-def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scalar fingerprint of the feature vector for the driver canonicalizer
-    # (raw array<float> is unhashable in its pandas sort); pytest keeps the
-    # raw-array assertions (tests/test_multimodal.py).
-    from darkbo_spark.multimodal.binary_ops import byte_histogram_features, synth_media
-
-    feats = byte_histogram_features(synth_media(spark, 200))
-    return feats.select(
-        "media_id",
-        "kind",
-        F.size("features").alias("dim"),
-        F.md5(F.to_json(F.col("features"))).alias("features_fp"),
-    )
-
-
-@_q("media_frame_sample")
-def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.multimodal.binary_ops import sample_frames, synth_media
-
-    return sample_frames(synth_media(spark, 200), every_k=2)
-
-
-@_q("fuzzy_link_candidates")
-def fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from darkbo_spark.kg.link import fuzzy_candidates
-    from darkbo_spark.kg.pages import entity_dictionary_df
-
-    surfaces = spark.createDataFrame(
-        pd.DataFrame(
-            {"surface": ["acme systems incorporated", "global holdings", "the quantum labs"]}
-        )
-    )
-    return fuzzy_candidates(surfaces, entity_dictionary_df(spark), min_jaccard=0.3)
-
-
-@_q("prebuild_query_hybrid")  # rows-only: full flow covered in test_prebuild.py
-def prebuild_query_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's MAIN flow end-to-end: auto-discover a (fixed,
-    deterministic) project data dir, prebuild its versioned dense+sparse
-    indexes with checksum skip, and serve a hybrid query from the STORED
-    tables (dense ∪ sparse ∪ basic, dense-first precedence)."""
-    import json
-    import os
-    import tempfile
-    import time
-
-    from darkbo_spark.retrieval.prebuild import prebuild_all, query_project
-
-    # per-user dir (no cross-user collisions); fixture written ATOMICALLY
-    # (tmp + rename — a concurrent reader never sees a half-written file)
-    # and compared by CONTENT, so editing the embedded rows invalidates a
-    # stale /tmp copy instead of silently serving the old corpus
-    base = os.path.join(
-        tempfile.gettempdir(), f"darkbo_spark_prebuild_demo_u{os.getuid()}"
-    )
-    data_dir = os.path.join(base, "data")
-    out_dir = os.path.join(base, "indexes")
-    proj = os.path.join(data_dir, "900")
-    os.makedirs(proj, exist_ok=True)
-    faq_path = os.path.join(proj, "900.faq.json")
-    rows = [
-        {
-            "id": None,
-            "question": q,
-            "answer": a,
-            "created_at": "2024-01-01T00:00:00Z",
-            "updated_at": "2024-01-01T00:00:00Z",
-            "source": "faq",
-            "source_file": "900.faq.json",
-        }
-        for q, a in [
-            ("How fast is a table scan?", "A fast table scan reads only pruned columns."),
-            ("What is a window aggregate?", "A window aggregate computes per-partition rankings."),
-            ("How are shuffles minimized?", "Broadcast small dimensions and pre-partition joins."),
-        ]
-    ]
-    payload = json.dumps(rows)
-    current = None
-    if os.path.exists(faq_path):
-        with open(faq_path) as f:
-            current = f.read()
-    if current != payload:
-        fd, tmp = tempfile.mkstemp(dir=proj, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        os.replace(tmp, faq_path)
-    # a concurrent builder holding the project lock is fine — wait briefly
-    # and retry; it is building the very indexes this query needs
-    for attempt in range(20):
-        try:
-            prebuild_all(spark, data_dir, out_dir)  # fingerprint-skips when warm
-            break
-        except RuntimeError as e:
-            if "lock" not in str(e) or attempt == 19:
-                raise
-            time.sleep(0.5)
-    return query_project(
-        spark, out_dir, "900", "fast table scan with window agg", top_k=3
-    )
-
-
-from darkbo_spark.retrieval.oracle_twin import (  # noqa: E402
-    prebuild_twin_oracle_sql,
-    prebuild_twin_serve,
-)
-
-
-@_q("prebuild_query_hybrid_x", prebuild_twin_oracle_sql())
-def prebuild_query_hybrid_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stored-serve flow driver-ORACLED end to end (closing the last
-    architecturally-interesting rows-only query): the item corpus is a SQL
-    projection of `documents`, the Spark side publishes items + dense_index
-    + sparse_postings as SnapshotTable versions and serves the query with
-    the production query_project from the STORED tables only, and DuckDB
-    replays encoder → cosine top-k, QueryParser AND → BM25, basic scorer,
-    and the dense-first precedence merge in pure SQL
-    (retrieval/oracle_twin.py)."""
-    return prebuild_twin_serve(spark, sf_dir, _corpus_fp(sf_dir, "documents"))
-
-
-from darkbo_spark.kg.oracle_twin import embed_candidates_oracle_sql  # noqa: E402
-
-
-@_q("embed_link_candidates_x", embed_candidates_oracle_sql(0.3, 6, 42))
-def embed_link_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embed_candidates driver-oracled end-to-end: real Arrow encoder +
-    sign-LSH bucketing (the seeded hyperplanes inline into the oracle as
-    literals, so DuckDB replays the identical buckets) + in-bucket cosine
-    argmax, against the SQL-replayable twin dictionary."""
-    from darkbo_spark.kg.link import embed_candidates
-    from darkbo_spark.kg.oracle_twin import twin_entity_dict, twin_surfaces
-
-    return embed_candidates(
-        twin_surfaces(spark), twin_entity_dict(spark), min_cosine=0.3
-    )
-
-
-@_q("embed_link_candidates")  # rows-only: generator agreement in test_link.py
-def embed_link(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The M3 embedding leg of fuzzy candidate generation: LSH-bucketed
-    cosine over A7 alias embeddings (kg/link.embed_candidates)."""
-    import pandas as pd
-
-    from darkbo_spark.kg.link import embed_candidates
-    from darkbo_spark.kg.pages import entity_dictionary_df
-
-    surfaces = spark.createDataFrame(
-        pd.DataFrame(
-            {"surface": ["the acme systems", "stellar labs", "no such entity here"]}
-        )
-    )
-    return embed_candidates(surfaces, entity_dictionary_df(spark), min_cosine=0.7)
-
-
-# the same fuzzy-candidate operator, oracled: the dictionary is the `part`
-# table (alias = p_name, eid = p_partkey) so DuckDB can replay it exactly
-_FUZZY_SURFACES = ["the small bolt", "red widget deluxe", "warm gear box"]
-
-_FUZZY_ORACLE = f"""
-WITH surf_raw AS (SELECT unnest({_FUZZY_SURFACES!r}) AS surface),
-surf AS (
-  SELECT DISTINCT regexp_replace(lower(trim(surface)), '^the ', '') AS s_norm FROM surf_raw
-),
-s_tok AS (
-  SELECT DISTINCT s_norm, len(string_split(s_norm, ' ')) AS s_size,
-         unnest(string_split(s_norm, ' ')) AS token
-  FROM surf
-),
-dic AS (
-  SELECT DISTINCT regexp_replace(lower(trim(p_name)), '^the ', '') AS alias_norm,
-         p_partkey AS eid
-  FROM part
-),
-d_tok AS (
-  SELECT DISTINCT alias_norm, eid, len(string_split(alias_norm, ' ')) AS d_size,
-         unnest(string_split(alias_norm, ' ')) AS token
-  FROM dic
-),
-inter AS (
-  SELECT s_norm, s_size, alias_norm, eid, d_size, COUNT(*) AS overlap
-  FROM s_tok JOIN d_tok USING (token)
-  GROUP BY s_norm, s_size, alias_norm, eid, d_size
-),
-scored AS (
-  SELECT s_norm, eid, alias_norm,
-         overlap * 1.0 / (s_size + d_size - overlap) AS jaccard
-  FROM inter
-  WHERE overlap * 1.0 / (s_size + d_size - overlap) >= 0.3
-)
-SELECT s_norm, eid, alias_norm, ROUND(jaccard, 6) AS jaccard
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY s_norm ORDER BY jaccard DESC, eid ASC, alias_norm ASC
-  ) AS rk
-  FROM scored
-) WHERE rk = 1
-"""
-
-
-@_q("fuzzy_link_parts", _FUZZY_ORACLE)
-def fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from darkbo_spark.kg.link import fuzzy_candidates
-
-    surfaces = spark.createDataFrame(pd.DataFrame({"surface": _FUZZY_SURFACES}))
-    dic = _t(spark, sf_dir, "part").select(
-        F.col("p_name").alias("alias"), F.col("p_partkey").alias("eid")
-    )
-    out = fuzzy_candidates(surfaces, dic, min_jaccard=0.3)
-    return out.select("s_norm", "eid", "alias_norm", F.round("jaccard", 6).alias("jaccard"))
-
-
-# ---------------------------------------------------------------------------
-# KG pipeline on the synthetic Common-Crawl pages (rows-only — the full
-# golden-parity gate is tests/test_kg_pipeline.py)
-# ---------------------------------------------------------------------------
-
-@_q("kg_raw_triples")
-def kg_raw_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.kg.extract import extract_docs
-    from darkbo_spark.kg.pages import synth_pages
-    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
-
-    pages = synth_pages(spark, 200, seed=42)
-    return extract_raw_triples(segment_sentences(extract_docs(pages)))
-
-
-@_q("kg_linked_entities")
-def kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.kg.extract import extract_docs
-    from darkbo_spark.kg.link import link_entities
-    from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
-    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
-
-    pages = synth_pages(spark, 200, seed=42)
-    raw = extract_raw_triples(segment_sentences(extract_docs(pages)))
-    return link_entities(raw, entity_dictionary_df(spark)).select(
-        "triple_id", "subj", "pred", "obj", "subj_eid", "obj_eid"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Driver-oracled KG twins (kg/oracle_twin.py): the page text is built by a
-# dialect-neutral SQL expression over documents.doc_id, the SPARK side runs
-# the REAL pipeline (Arrow clean_text UDF → segmenter → rule extractor →
-# broadcast link), and the DuckDB oracle independently replays clean →
-# segment → extract → link in pure SQL. The hash gate proves the pipeline's
-# SEMANTICS end to end — not just row counts.
-# ---------------------------------------------------------------------------
-
-from darkbo_spark.kg.oracle_twin import (  # noqa: E402
-    canonicalize_oracle_sql,
-    est_oracle_sql,
-    linked_oracle_sql,
-)
-
-
-def _twin_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.kg.extract import extract_docs
-    from darkbo_spark.kg.oracle_twin import twin_pages
-    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
-
-    pages = twin_pages(_t(spark, sf_dir, "documents"))
-    return extract_raw_triples(segment_sentences(extract_docs(pages)))
-
-
-@_q("kg_triples_x", est_oracle_sql(240))
-def kg_triples_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.kg.oracle_twin import triple_sha_col
-
-    return _twin_raw(spark, sf_dir).select(
-        "url",
-        F.col("sent_idx").cast("bigint").alias("sent_idx"),
-        "subj",
-        "pred",
-        "obj",
-        triple_sha_col().alias("triple_sha"),
-    )
-
-
-@_q("kg_canonicalize_x", canonicalize_oracle_sql(60))
-def kg_canonicalize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage C driver-proven on the DISTRIBUTED path: large-star/small-star
-    iterative DataFrame joins (operators/components.py) over an engineered
-    alias-chaining dictionary, vs a DuckDB recursive-CTE fixpoint oracle."""
-    from darkbo_spark.kg.canonicalize import canonicalize_entities
-    from darkbo_spark.kg.oracle_twin import twin_alias_dict
-
-    return canonicalize_entities(twin_alias_dict(spark), mode="distributed")
-
-
-@_q("kg_canonicalize_driver_x", canonicalize_oracle_sql(60))
-def kg_canonicalize_driver_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same oracle, driver union-find path — both canonicalization modes
-    produce the identical mapping under the driver's hash gate, not just in
-    pytest's equality assertion."""
-    from darkbo_spark.kg.canonicalize import canonicalize_entities
-    from darkbo_spark.kg.oracle_twin import twin_alias_dict
-
-    return canonicalize_entities(twin_alias_dict(spark), mode="driver")
-
-
-def _kg_linked_twin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
-    from darkbo_spark.kg.link import link_entities
-    from darkbo_spark.kg.oracle_twin import twin_entity_dict
-
-    linked = link_entities(
-        _twin_raw(spark, sf_dir), twin_entity_dict(spark), strategy=strategy
-    )
-    return linked.select(
-        "url",
-        F.col("sent_idx").cast("bigint").alias("sent_idx"),
-        "subj",
-        "pred",
-        "obj",
-        "subj_eid",
-        "obj_eid",
-    )
-
-
-@_q("kg_linked_x", linked_oracle_sql(240))
-def kg_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _kg_linked_twin(spark, sf_dir, "broadcast")
-
-
-@_q("kg_linked_salted_x", linked_oracle_sql(240))
-def kg_linked_salted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SALTED skew-defeating link strategy against the SAME oracle —
-    broadcast ≡ salted ≡ DuckDB replay is now a driver hash fact, not
-    just the pytest equality assertion."""
-    return _kg_linked_twin(spark, sf_dir, "salted")
-
+from darkbo_spark.queries.common import ORACLE_SQL, QUERIES  # noqa: F401
+
+# family imports REGISTER queries as a side effect; the in-module order is
+# the within-family registration order, and _apply_driver_window() below
+# fixes the cross-family order the driver actually sees
+import darkbo_spark.queries.star  # noqa: E402,F401
+import darkbo_spark.queries.retrieval  # noqa: E402,F401
+import darkbo_spark.queries.textops  # noqa: E402,F401
+import darkbo_spark.queries.dedup_queries  # noqa: E402,F401
+import darkbo_spark.queries.events_queries  # noqa: E402,F401
+import darkbo_spark.queries.media_embed  # noqa: E402,F401
+import darkbo_spark.queries.kg_queries  # noqa: E402,F401
+
+# re-exports kept stable for the driver entry module and tests
+from darkbo_spark.queries.retrieval import flagship  # noqa: E402,F401
+from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver sampling window (registration ORDER is an interface): the driver's

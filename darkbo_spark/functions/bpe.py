@@ -27,9 +27,11 @@ everything around it (explode-free, per-row scalar out) stays columnar.
 
 from __future__ import annotations
 
+import os
 import re
 from collections import Counter
 from functools import lru_cache
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -132,11 +134,38 @@ def bpe_token_count_py(text: str) -> int:
     return len(bpe_tokens(text))
 
 
+REAL_TOKENIZER_ENV = "DARKBO_REAL_TOKENIZER"
+TOKENIZER_NAME_ENV = "DARKBO_TOKENIZER_NAME"
+
+
+def _load_counter():
+    """The tokenizer seam, executable: DARKBO_REAL_TOKENIZER=1 loads a
+    released tokenizer (tiktoken, encoding from DARKBO_TOKENIZER_NAME,
+    default gpt2) and counts ITS tokens; default is the vendored
+    merge-table encoder. Missing library fails loudly — a silent fallback
+    would mix token accountings across a corpus."""
+    if os.environ.get(REAL_TOKENIZER_ENV) == "1":
+        try:
+            import tiktoken
+        except ImportError as e:
+            raise RuntimeError(
+                f"{REAL_TOKENIZER_ENV}=1 but tiktoken is not installed — "
+                "install it or unset the flag"
+            ) from e
+        enc = tiktoken.get_encoding(os.environ.get(TOKENIZER_NAME_ENV, "gpt2"))
+        return lambda t: len(enc.encode(t or ""))
+    return bpe_token_count_py
+
+
 @pandas_udf(IntegerType())
-def bpe_token_count_real(texts: pd.Series) -> pd.Series:
-    """Arrow-batched scalar UDF: real BPE token count per row. Same
-    `bpe_tokens` function as the Python twin — parity by construction."""
-    return texts.map(lambda t: len(bpe_tokens(t))).astype("int32")
+def bpe_token_count_real(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Arrow-batched scalar-iterator UDF: real BPE token count per row.
+    The counter loads ONCE per python worker (the tokenizer seam —
+    `_load_counter`); the default path is the same `bpe_tokens` function
+    as the Python twin, parity by construction."""
+    count = _load_counter()
+    for texts in it:
+        yield texts.map(count).astype("int32")
 
 
 def bpe_token_count_udf():

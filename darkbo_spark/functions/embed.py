@@ -7,17 +7,26 @@ scalar-ITERATOR pandas UDF so the model loads ONCE per executor python
 worker and every batch reuses it — the canonical pattern for model
 inference in Spark.
 
-No model ships in this container, so `_load_model` returns a deterministic
-hash-projection encoder (stable across runs/parallelism, unit-normalized,
-fixed dim). Swapping in the real sentence-transformer changes only
-`_load_model`; the UDF shape, Arrow batching, and normalization are the
-production path.
+No model ships in this container, so `_load_model` defaults to a
+deterministic hash-projection encoder (stable across runs/parallelism,
+unit-normalized, fixed dim). The real-model seam is EXECUTABLE, not a
+comment: set ``DARKBO_REAL_EMBED=1`` (and optionally
+``DARKBO_EMBED_MODEL``, default all-MiniLM-L6-v2 — the reference's model,
+api/index_versioning.py:396-406) and `_load_model` loads the
+sentence-transformer through the `_ModelEncoder` adapter, which applies
+the SAME L2 normalization contract as the stub. The UDF shape, Arrow
+batching, once-per-worker load, and normalization are identical either
+way — tests/test_embed.py proves the adapter contract with a fake model
+and auto-skips the real-library test when it isn't installed. (Local
+mode shares the driver's environment with workers; on a cluster, ship
+the env var via spark.executorEnv.)
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -25,6 +34,9 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, FloatType
 
 EMBED_DIM = 64
+REAL_EMBED_ENV = "DARKBO_REAL_EMBED"
+EMBED_MODEL_ENV = "DARKBO_EMBED_MODEL"
+DEFAULT_REAL_MODEL = "all-MiniLM-L6-v2"
 
 
 class _HashEncoder:
@@ -45,9 +57,39 @@ class _HashEncoder:
         return out
 
 
+class _ModelEncoder:
+    """Adapter giving any `model.encode(list[str]) -> vectors` object (the
+    sentence-transformers interface) the SAME output contract as the stub:
+    plain float lists, L2-normalized (the reference normalizes before
+    indexing), zero-vector-safe."""
+
+    def __init__(self, model):
+        self._model = model
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        out = []
+        for v in self._model.encode(list(texts)):
+            v = [float(x) for x in v]
+            norm = math.sqrt(sum(x * x for x in v)) or 1.0
+            out.append([x / norm for x in v])
+        return out
+
+
 def _load_model():
-    """The model seam: return the real sentence-transformer here in
-    production; the deterministic hash encoder in this container."""
+    """The model seam. DARKBO_REAL_EMBED=1 → the real sentence-transformer
+    (fail LOUDLY if the library is missing rather than silently serving
+    stub vectors); default → the deterministic hash encoder."""
+    if os.environ.get(REAL_EMBED_ENV) == "1":
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:
+            raise RuntimeError(
+                f"{REAL_EMBED_ENV}=1 but sentence-transformers is not "
+                "installed — install it or unset the flag (falling back "
+                "silently would mix stub and real vectors in one index)"
+            ) from e
+        name = os.environ.get(EMBED_MODEL_ENV, DEFAULT_REAL_MODEL)
+        return _ModelEncoder(SentenceTransformer(name))
     return _HashEncoder()
 
 

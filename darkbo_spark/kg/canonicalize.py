@@ -20,13 +20,34 @@ from darkbo_spark.kg.link import _norm
 from darkbo_spark.operators.components import connected_components
 
 
-# above this many alias rows the dictionary is no longer broadcast-sized and
-# canonicalization must run distributed (iterative DataFrame joins)
-DRIVER_CC_LIMIT = 2_000_000
+# Python-object overhead multiplier on collected string pairs: each Row
+# carries two str objects (~49-byte header each) plus tuple/list slots —
+# measured ~4-6x the raw character bytes; 6 is the safe side
+_PY_OVERHEAD = 6
+
+
+def _driver_cc_budget_bytes(spark) -> int:
+    """The driver union-find is justified ONLY while the dictionary is
+    broadcast-sized — derive the byte budget from the session's own
+    broadcast threshold (default 10 MB) instead of a row count: 2M rows of
+    short aliases and 50k rows of fat ones are different animals."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = str(raw).strip().lower().removesuffix("b")
+    mult = units.get(s[-1:], 1)
+    num = s[:-1] if s[-1:] in units else s
+    try:
+        budget = int(float(num)) * mult
+    except ValueError:
+        budget = 10 << 20
+    return budget if budget > 0 else 10 << 20  # -1 = broadcast disabled
 
 
 def canonicalize_entities(
-    entity_dict: DataFrame, max_iter: int = 25, mode: str = "auto"
+    entity_dict: DataFrame,
+    max_iter: int = 25,
+    mode: str = "auto",
+    max_driver_bytes: int | None = None,
 ) -> DataFrame:
     """→ (eid, canon_eid): mapping from dictionary eid to merged component
     representative eid (min eid in the alias-connected cluster).
@@ -38,7 +59,11 @@ def canonicalize_entities(
       canonical dictionary is by definition broadcast-bounded (it is the
       broadcast side of the link join), so when it fits, a driver-side
       union-find is strictly better than ~6 shuffle rounds over tiny data.
-    * "auto"        — driver iff the pair count is under DRIVER_CC_LIMIT.
+    * "auto"        — driver iff the ESTIMATED COLLECTED BYTES (string
+      chars × python-object overhead, measured by one tiny aggregate over
+      the pairs) fit `max_driver_bytes`, defaulting to the session's
+      autoBroadcastJoinThreshold — a byte bound, not a row count, so a
+      fat-alias dictionary can't cliff the driver heap.
 
     Both paths produce the identical mapping (asserted in tests).
     """
@@ -46,7 +71,17 @@ def canonicalize_entities(
         "eid", _norm(F.col("alias")).alias("alias_norm")
     ).distinct()
     if mode == "auto":
-        mode = "driver" if pairs.count() <= DRIVER_CC_LIMIT else "distributed"
+        budget = (
+            max_driver_bytes
+            if max_driver_bytes is not None
+            else _driver_cc_budget_bytes(entity_dict.sparkSession)
+        )
+        stats = pairs.agg(
+            F.coalesce(
+                F.sum(F.length("eid") + F.length("alias_norm")), F.lit(0)
+            ).alias("chars")
+        ).collect()[0]
+        mode = "driver" if stats.chars * _PY_OVERHEAD <= budget else "distributed"
     if mode == "driver":
         return _driver_cc(pairs)
     edges = pairs.select(

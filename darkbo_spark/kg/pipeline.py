@@ -176,11 +176,11 @@ def _run_locked(
 
     def _dict_stages():
         try:
-            # mode="auto": driver union-find while the dictionary is
-            # broadcast-sized (identical output to the distributed
-            # star-contraction CC — asserted in tests), iterative DataFrame
-            # CC once it outgrows DRIVER_CC_LIMIT; tests force
-            # cc_mode="distributed" through the full pipeline as well
+            # mode="auto": driver union-find while the dictionary's
+            # estimated collected bytes fit the broadcast threshold
+            # (identical output to the distributed star-contraction CC —
+            # asserted in tests), iterative DataFrame CC beyond it; tests
+            # force cc_mode="distributed" through the full pipeline as well
             def build_eid_map():
                 return (
                     canonicalize_entities(entity_dict, mode=cc_mode).coalesce(1),

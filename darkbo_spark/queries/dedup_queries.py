@@ -1,0 +1,329 @@
+"""Deduplication family: exact hash dedup, the composite training-data
+filter, token-Jaccard and embedding-cosine all-pairs verification twins,
+and the MinHash-LSH / SimHash banding pipelines with their portable-hash
+DuckDB twins.
+
+Part of the driver-contract query corpus (see darkbo_spark/entry_queries.py
+for the registry, driver-window ordering, and the shared float discipline:
+money aggregates sum in DECIMAL, short array folds round to 6 dp on both
+engines, every computed column is aliased identically in Spark and SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from darkbo_spark.functions import text_analysis as ta
+from darkbo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+    token_jaccard_pairs,
+)
+
+from darkbo_spark.queries.common import _q, _t
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@_q(
+    "exact_dedup_docs",
+    "SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "fingerprint", "doc_id"
+    )
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+  FROM documents WHERE doc_id < 60
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM toks a JOIN toks b USING (token)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+@_q("token_jaccard_pairs", _JACCARD_ORACLE)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return token_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+
+# composite training-data filter — the operators chained the way a corpus
+# pipeline actually uses them: language gate → quality gate → exact dedup
+# (first doc_id per fingerprint wins)
+_TRAIN_FILTER_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, md5(text) AS fingerprint
+  FROM documents
+  WHERE {ta.sql_lang_id('text')} = 'en_like' AND {ta.sql_quality_score('text')} >= 0.7
+)
+SELECT fingerprint, MIN(doc_id) AS doc_id
+FROM gated GROUP BY fingerprint
+"""
+
+
+@_q("training_data_filter", _TRAIN_FILTER_ORACLE)
+def training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (ta.lang_id_heuristic(F.col("text")) == "en_like")
+        & (ta.quality_score(F.col("text")) >= 0.7)
+    )
+    return exact_dedup(gated, "text", "doc_id").select("fingerprint", "doc_id")
+
+_COSINE_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+@_q("cosine_neardup_pairs", _COSINE_NEARDUP_ORACLE)
+def cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.dedup import cosine_neardup_pairs
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    return cosine_neardup_pairs(emb, "embedding", "vec_id", min_cosine=0.4)
+
+# ONE limit constant shared by the Spark corpus, its SQL twin, and the
+# portable-minhash oracle builder — a single knob, so the two sides can
+# never desync on corpus size
+_NEARDUP_ID_LIMIT = 200
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id<_NEARDUP_ID_LIMIT) plus PLANTED near-duplicates:
+    docs 0..19 re-appear as doc_id+100000 with one appended token. The
+    word-salad corpora differ per scale factor, and at sf0.1 the first 200
+    docs happen to contain no natural near-dups — planting guarantees the
+    LSH queries return real pairs at EVERY sf instead of being data-lucky."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NEARDUP_ID_LIMIT)
+        .select("doc_id", "text")
+    )
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted near duplicate")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+# dialect-neutral SQL rendering of the SAME corpus (for the DuckDB twins)
+_NEARDUP_CORPUS_SQL = f"""
+(SELECT doc_id, text FROM documents WHERE doc_id < {_NEARDUP_ID_LIMIT}
+ UNION ALL
+ SELECT doc_id + 100000 AS doc_id, text || ' planted near duplicate' AS text
+ FROM documents WHERE doc_id < 20)
+"""
+
+
+@_q("minhash_lsh_pairs")  # rows-only: containment vs exact Jaccard in pytest
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _neardup_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4)
+
+
+@_q("simhash_docs")  # rows-only: determinism + hamming properties in pytest
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id")
+
+
+@_q("simhash_neardup_pairs")  # rows-only: banded == brute-force in pytest
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def _simhash_sig_oracle(id_limit: int) -> str:
+    """Portable 60-bit SimHash SIGNATURES (the tf-weighted bit-vote packing
+    itself, not just the banded pairs) — the sims CTE of the pairs oracle,
+    projected directly."""
+    nbits = 60
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(nbits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS token
+  FROM documents WHERE doc_id < {id_limit}
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY doc_id, token
+), h AS (
+  SELECT doc_id, tf,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM tf
+), agg AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM agg
+ORDER BY doc_id
+"""
+
+
+@_q("simhash_docs_x", _simhash_sig_oracle(200))
+def simhash_docs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature computation itself hash-oracled in portable mode
+    (60-bit md5 hash; xxhash64 `simhash_docs` above stays production)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id", hash_mode="portable")
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-hash twins: the SAME MinHash-LSH / SimHash banding pipelines
+# with hash_mode="portable" (md5-60 instead of xxhash64), so DuckDB replays
+# the IDENTICAL algorithm end-to-end and the driver hash-verifies the
+# output. The xxhash64 form stays the production path; these twins prove
+# the banding/cap/self-join machinery bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# the portable 60-bit hash, in each engine's dialect (values verified equal)
+_PH60_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_portable_oracle(
+    k: int, bands: int, n: int, seed: int, max_bucket: int
+) -> str:
+    # corpus size comes from _NEARDUP_CORPUS_SQL's shared _NEARDUP_ID_LIMIT
+    # (no separate limit knob here — the two sides can't desync)
+    from darkbo_spark.operators.dedup import _MERSENNE_P, _perm_constants
+
+    consts = _perm_constants(k, seed)
+    r = k // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    # corpus = documents prefix + planted near-dups (see _NEARDUP_CORPUS_SQL)
+    return f"""
+WITH docs AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+              FROM {_NEARDUP_CORPUS_SQL} base),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - {n}, 0) + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS shingle
+  FROM docs
+), hashed AS (
+  SELECT doc_id, {_PH60_DUCK.format(s='shingle')} % {_MERSENNE_P} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), sizes AS (SELECT band, bucket, COUNT(*) AS sz FROM banded GROUP BY band, bucket),
+capped AS (
+  SELECT banded.doc_id, banded.band, banded.bucket
+  FROM banded JOIN sizes USING (band, bucket) WHERE sz <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_portable_oracle(max_hamming: int, max_bucket: int, id_limit: int) -> str:
+    nbits = 60
+    n_bands = max_hamming + 1
+    # Spark's last band absorbs the remainder bits (dedup.py mask -1); this
+    # oracle masks every band to a FIXED width — the two agree only when
+    # the bands divide nbits evenly, so refuse any other configuration
+    # rather than silently generating a diverging oracle
+    assert nbits % n_bands == 0, (
+        f"portable simhash oracle requires (max_hamming+1) | {nbits}; "
+        f"got max_hamming={max_hamming} → {n_bands} bands"
+    )
+    width = nbits // n_bands
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(nbits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sim, {i} AS band,"
+        f" (sim >> {i * width}) & {(1 << width) - 1} AS bits FROM sims"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS token
+  FROM documents WHERE doc_id < {id_limit}
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY doc_id, token
+), h AS (
+  SELECT doc_id, tf, {_PH60_DUCK.format(s='token')} AS h FROM tf
+), agg AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS sim FROM agg
+), banded AS (
+  {band_rows}
+), sizes AS (SELECT band, bits, COUNT(*) AS sz FROM banded GROUP BY band, bits),
+capped AS (
+  SELECT banded.doc_id, banded.sim, banded.band, banded.bits
+  FROM banded JOIN sizes USING (band, bits) WHERE sz <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@_q("minhash_lsh_pairs_x", _minhash_portable_oracle(16, 4, 3, 42, 500))
+def minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _neardup_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
+    )
+
+
+@_q("simhash_neardup_pairs_x", _simhash_portable_oracle(3, 500, 200))
+def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=3, hash_mode="portable", persist=False
+    )

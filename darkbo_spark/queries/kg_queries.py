@@ -1,0 +1,245 @@
+"""Knowledge-graph pipeline queries: raw triple extraction and entity
+linking over synthetic Common-Crawl pages (rows-only), fuzzy/embedding
+link-candidate generation, and the end-to-end driver-oracled twins whose
+page text is a SQL expression DuckDB replays clean -> segment -> extract
+-> link (kg/oracle_twin.py).
+
+Part of the driver-contract query corpus (see darkbo_spark/entry_queries.py
+for the registry, driver-window ordering, and the shared float discipline:
+money aggregates sum in DECIMAL, short array folds round to 6 dp on both
+engines, every computed column is aliased identically in Spark and SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from darkbo_spark.queries.common import _q, _t
+
+
+@_q("fuzzy_link_candidates")
+def fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from darkbo_spark.kg.link import fuzzy_candidates
+    from darkbo_spark.kg.pages import entity_dictionary_df
+
+    surfaces = spark.createDataFrame(
+        pd.DataFrame(
+            {"surface": ["acme systems incorporated", "global holdings", "the quantum labs"]}
+        )
+    )
+    return fuzzy_candidates(surfaces, entity_dictionary_df(spark), min_jaccard=0.3)
+
+from darkbo_spark.kg.oracle_twin import embed_candidates_oracle_sql  # noqa: E402
+
+
+@_q("embed_link_candidates_x", embed_candidates_oracle_sql(0.3, 6, 42))
+def embed_link_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_candidates driver-oracled end-to-end: real Arrow encoder +
+    sign-LSH bucketing (the seeded hyperplanes inline into the oracle as
+    literals, so DuckDB replays the identical buckets) + in-bucket cosine
+    argmax, against the SQL-replayable twin dictionary."""
+    from darkbo_spark.kg.link import embed_candidates
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict, twin_surfaces
+
+    return embed_candidates(
+        twin_surfaces(spark), twin_entity_dict(spark), min_cosine=0.3
+    )
+
+
+@_q("embed_link_candidates")  # rows-only: generator agreement in test_link.py
+def embed_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M3 embedding leg of fuzzy candidate generation: LSH-bucketed
+    cosine over A7 alias embeddings (kg/link.embed_candidates)."""
+    import pandas as pd
+
+    from darkbo_spark.kg.link import embed_candidates
+    from darkbo_spark.kg.pages import entity_dictionary_df
+
+    surfaces = spark.createDataFrame(
+        pd.DataFrame(
+            {"surface": ["the acme systems", "stellar labs", "no such entity here"]}
+        )
+    )
+    return embed_candidates(surfaces, entity_dictionary_df(spark), min_cosine=0.7)
+
+
+# the same fuzzy-candidate operator, oracled: the dictionary is the `part`
+# table (alias = p_name, eid = p_partkey) so DuckDB can replay it exactly
+_FUZZY_SURFACES = ["the small bolt", "red widget deluxe", "warm gear box"]
+
+_FUZZY_ORACLE = f"""
+WITH surf_raw AS (SELECT unnest({_FUZZY_SURFACES!r}) AS surface),
+surf AS (
+  SELECT DISTINCT regexp_replace(lower(trim(surface)), '^the ', '') AS s_norm FROM surf_raw
+),
+s_tok AS (
+  SELECT DISTINCT s_norm, len(string_split(s_norm, ' ')) AS s_size,
+         unnest(string_split(s_norm, ' ')) AS token
+  FROM surf
+),
+dic AS (
+  SELECT DISTINCT regexp_replace(lower(trim(p_name)), '^the ', '') AS alias_norm,
+         p_partkey AS eid
+  FROM part
+),
+d_tok AS (
+  SELECT DISTINCT alias_norm, eid, len(string_split(alias_norm, ' ')) AS d_size,
+         unnest(string_split(alias_norm, ' ')) AS token
+  FROM dic
+),
+inter AS (
+  SELECT s_norm, s_size, alias_norm, eid, d_size, COUNT(*) AS overlap
+  FROM s_tok JOIN d_tok USING (token)
+  GROUP BY s_norm, s_size, alias_norm, eid, d_size
+),
+scored AS (
+  SELECT s_norm, eid, alias_norm,
+         overlap * 1.0 / (s_size + d_size - overlap) AS jaccard
+  FROM inter
+  WHERE overlap * 1.0 / (s_size + d_size - overlap) >= 0.3
+)
+SELECT s_norm, eid, alias_norm, ROUND(jaccard, 6) AS jaccard
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY s_norm ORDER BY jaccard DESC, eid ASC, alias_norm ASC
+  ) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+@_q("fuzzy_link_parts", _FUZZY_ORACLE)
+def fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from darkbo_spark.kg.link import fuzzy_candidates
+
+    surfaces = spark.createDataFrame(pd.DataFrame({"surface": _FUZZY_SURFACES}))
+    dic = _t(spark, sf_dir, "part").select(
+        F.col("p_name").alias("alias"), F.col("p_partkey").alias("eid")
+    )
+    out = fuzzy_candidates(surfaces, dic, min_jaccard=0.3)
+    return out.select("s_norm", "eid", "alias_norm", F.round("jaccard", 6).alias("jaccard"))
+
+# ---------------------------------------------------------------------------
+# KG pipeline on the synthetic Common-Crawl pages (rows-only — the full
+# golden-parity gate is tests/test_kg_pipeline.py)
+# ---------------------------------------------------------------------------
+
+@_q("kg_raw_triples")
+def kg_raw_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.kg.pages import synth_pages
+    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
+
+    pages = synth_pages(spark, 200, seed=42)
+    return extract_raw_triples(segment_sentences(extract_docs(pages)))
+
+
+@_q("kg_linked_entities")
+def kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.kg.link import link_entities
+    from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
+    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
+
+    pages = synth_pages(spark, 200, seed=42)
+    raw = extract_raw_triples(segment_sentences(extract_docs(pages)))
+    return link_entities(raw, entity_dictionary_df(spark)).select(
+        "triple_id", "subj", "pred", "obj", "subj_eid", "obj_eid"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-oracled KG twins (kg/oracle_twin.py): the page text is built by a
+# dialect-neutral SQL expression over documents.doc_id, the SPARK side runs
+# the REAL pipeline (Arrow clean_text UDF → segmenter → rule extractor →
+# broadcast link), and the DuckDB oracle independently replays clean →
+# segment → extract → link in pure SQL. The hash gate proves the pipeline's
+# SEMANTICS end to end — not just row counts.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import (  # noqa: E402
+    canonicalize_oracle_sql,
+    est_oracle_sql,
+    linked_oracle_sql,
+)
+
+
+def _twin_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.kg.oracle_twin import twin_pages
+    from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
+
+    pages = twin_pages(_t(spark, sf_dir, "documents"))
+    return extract_raw_triples(segment_sentences(extract_docs(pages)))
+
+
+@_q("kg_triples_x", est_oracle_sql(240))
+def kg_triples_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.kg.oracle_twin import triple_sha_col
+
+    return _twin_raw(spark, sf_dir).select(
+        "url",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "subj",
+        "pred",
+        "obj",
+        triple_sha_col().alias("triple_sha"),
+    )
+
+
+@_q("kg_canonicalize_x", canonicalize_oracle_sql(60))
+def kg_canonicalize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage C driver-proven on the DISTRIBUTED path: large-star/small-star
+    iterative DataFrame joins (operators/components.py) over an engineered
+    alias-chaining dictionary, vs a DuckDB recursive-CTE fixpoint oracle."""
+    from darkbo_spark.kg.canonicalize import canonicalize_entities
+    from darkbo_spark.kg.oracle_twin import twin_alias_dict
+
+    return canonicalize_entities(twin_alias_dict(spark), mode="distributed")
+
+
+@_q("kg_canonicalize_driver_x", canonicalize_oracle_sql(60))
+def kg_canonicalize_driver_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same oracle, driver union-find path — both canonicalization modes
+    produce the identical mapping under the driver's hash gate, not just in
+    pytest's equality assertion."""
+    from darkbo_spark.kg.canonicalize import canonicalize_entities
+    from darkbo_spark.kg.oracle_twin import twin_alias_dict
+
+    return canonicalize_entities(twin_alias_dict(spark), mode="driver")
+
+
+def _kg_linked_twin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    from darkbo_spark.kg.link import link_entities
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+
+    linked = link_entities(
+        _twin_raw(spark, sf_dir), twin_entity_dict(spark), strategy=strategy
+    )
+    return linked.select(
+        "url",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "subj",
+        "pred",
+        "obj",
+        "subj_eid",
+        "obj_eid",
+    )
+
+
+@_q("kg_linked_x", linked_oracle_sql(240))
+def kg_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kg_linked_twin(spark, sf_dir, "broadcast")
+
+
+@_q("kg_linked_salted_x", linked_oracle_sql(240))
+def kg_linked_salted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED skew-defeating link strategy against the SAME oracle —
+    broadcast ≡ salted ≡ DuckDB replay is now a driver hash fact, not
+    just the pytest equality assertion."""
+    return _kg_linked_twin(spark, sf_dir, "salted")

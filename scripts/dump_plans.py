@@ -68,6 +68,19 @@ CHECKS = {
     # explode), and both link lookups as broadcast joins of the triples side
     "kg_triples_x": ["ArrowEvalPython", "ReadSchema: struct<doc_id:bigint>", "!Exchange"],
     "kg_linked_x": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # --- prebuild stored-serve: every channel reads the PUBLISHED snapshot
+    # tables; sparse is a broadcast term join, the merge ends in one top-k —
+    # and nothing in the three-channel union degenerates to a cross product
+    # (the dense channel's broadcast single-query crossJoin is a
+    # BroadcastNestedLoopJoin over ONE row, which is the intended shape)
+    "prebuild_query_hybrid_x": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct",
+    ],
+    # --- embedding link fallback: Arrow encoder feeds a sign-LSH bucket
+    # EQUI-join (never an all-pairs surface × alias product)
+    "embed_link_candidates_x": [
+        "ArrowEvalPython", "_bucket", "!CartesianProduct",
+    ],
 }
 
 
@@ -117,6 +130,37 @@ def main() -> int:
     if not ok:
         failures.append(("kg_link_stage", ["BroadcastHashJoin"]))
     out.append(f"## kg_link_stage\n\nExpect: BroadcastHashJoin → **{'OK' if ok else 'MISSING'}**\n")
+    out.append("```\n" + plan[:4000] + "\n```\n")
+
+    # stream-static link micro-batch plan: foreachBatch hands the transform a
+    # plain BATCH DataFrame backed by the trigger's files, so the per-batch
+    # plan IS this plan — built here over the same pages schema to assert the
+    # dictionary joins by BROADCAST inside every micro-batch (the
+    # stream-static join must not sort-merge a tiny slowly-changing dim)
+    linked_mb = link_entities(
+        extract_doc_triples_df(extract_docs(synth_pages(spark, 1000))),
+        entity_dictionary_df(spark),
+        strategy="broadcast",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        linked_mb.explain("formatted")
+    plan = buf.getvalue()
+    want = ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"]
+    missing = [
+        w for w in want
+        if ((w[1:] in plan) if w.startswith("!") else (w not in plan))
+    ]
+    status = "OK" if not missing else f"MISSING {missing}"
+    print(f"stream_static_link_microbatch: {status}")
+    if missing:
+        failures.append(("stream_static_link_microbatch", missing))
+    out.append(
+        f"## stream_static_link_microbatch\n\n"
+        f"foreachBatch micro-batch transform of stream_pages_to_linked_triples "
+        f"(streaming/ingest.py) — the batch plan each trigger executes.\n\n"
+        f"Expect: {', '.join(want)} → **{status}**\n"
+    )
     out.append("```\n" + plan[:4000] + "\n```\n")
 
     os.makedirs("docs", exist_ok=True)

@@ -248,3 +248,46 @@ def test_pipeline_fuzzy_fallback_flag(spark):
         fp1 = base.tables["kg_triples"].current_fingerprint()
         fp2 = fb.tables["kg_triples"].current_fingerprint()
         assert fp1 != fp2
+
+
+def test_cc_auto_gate_is_byte_bounded(spark):
+    """mode='auto' routes on estimated collected BYTES, not row count: the
+    same tiny dictionary goes driver-side under a roomy budget and
+    distributed when the budget is just under its estimated footprint —
+    with identical output either way."""
+    from unittest.mock import patch
+
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.kg import canonicalize as c
+    from darkbo_spark.kg.pages import entity_dictionary_df
+
+    d = entity_dictionary_df(spark)
+    pairs = d.select("eid", c._norm(F.col("alias")).alias("alias_norm")).distinct()
+    chars = pairs.agg(
+        F.sum(F.length("eid") + F.length("alias_norm")).alias("n")
+    ).collect()[0].n
+    est = chars * c._PY_OVERHEAD
+
+    with patch.object(c, "_driver_cc", wraps=c._driver_cc) as drv:
+        small = c.canonicalize_entities(d, mode="auto", max_driver_bytes=est + 1)
+        small_rows = {(r.eid, r.canon_eid) for r in small.collect()}
+        assert drv.call_count == 1  # fits → driver union-find
+
+        big = c.canonicalize_entities(d, mode="auto", max_driver_bytes=est - 1)
+        big_rows = {(r.eid, r.canon_eid) for r in big.collect()}
+        assert drv.call_count == 1  # over budget → distributed path
+    assert small_rows == big_rows and len(small_rows) > 0
+
+
+def test_cc_budget_parses_broadcast_threshold(spark):
+    from darkbo_spark.kg.canonicalize import _driver_cc_budget_bytes
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in [("10485760", 10 << 20), ("10MB", 10 << 20),
+                          ("512k", 512 << 10), ("-1", 10 << 20)]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _driver_cc_budget_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
