@@ -8,11 +8,17 @@ documented seam where it does:
 * **BMP images (REAL)** — 24-bit uncompressed BMP is a fixed header + raw
   BGR rows; decode, luminance features, and nearest-neighbor resize are
   implemented here with `struct` alone. No Pillow needed.
+* **PNG images (REAL)** — the container is chunks + zlib (stdlib) +
+  per-scanline filters; encode (filter 0), decode (all five filter
+  types: None/Sub/Up/Average/Paeth), luminance features, and
+  nearest-neighbor resize are implemented here with `struct` + `zlib`.
+  8-bit non-interlaced gray/RGB/RGBA; palette/16-bit/interlaced raise
+  at the seam.
 * **WAV audio (REAL)** — RIFF/WAVE PCM decodes with the stdlib `wave`
   module; frame counts, sample rate, channels, and magnitude-histogram
   features are computed from real samples.
 * **Video + compressed formats (STUBBED)** — there is no dependency-free
-  real video container, and JPEG/PNG/MP4 need Pillow/pyav. Those payloads
+  real video container, and JPEG/MP4 need Pillow/pyav. Those payloads
   use the deterministic ``FAKE`` format (magic + parseable header) or
   raise NotImplementedError at the exact seam where the real decoder
   plugs in (`_decode_header` / the per-format branches).
@@ -27,6 +33,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -88,9 +95,11 @@ def _pack_bmp(w: int, h: int, pixel_bytes: bytes) -> bytes:
 
 
 def _sniff(payload: bytes) -> str:
-    """'bmp' | 'wav' | 'fake' | 'unknown' — the ONE magic-byte dispatch."""
+    """'bmp' | 'png' | 'wav' | 'fake' | 'unknown' — the ONE magic-byte dispatch."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload.startswith(_MAGIC):
@@ -138,6 +147,163 @@ def _bmp_pixels(payload: bytes):
         for x in range(w):
             i = base + 3 * x
             yield x, y, payload[i], payload[i + 1], payload[i + 2]
+
+
+# --- PNG (REAL, stdlib-only: struct for chunks, zlib for IDAT) -------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png_payload(media_id: int) -> bytes:
+    """A real 8-bit RGB PNG with the SAME deterministic per-pixel channel
+    formulas as make_bmp_payload (so histograms agree format-to-format)."""
+    w, h = 16 + (media_id % 48), 16 + ((media_id * 7) % 32)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0 (None) per scanline
+        for x in range(w):
+            raw += bytes(
+                (
+                    (media_id * 17 + x + y * 19) % 256,  # R
+                    (media_id * 11 + x * 13 + y) % 256,  # G
+                    (media_id * 5 + x * 3 + y * 7) % 256,  # B
+                )
+            )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, color_type) of a PNG this module supports: 8-bit
+    depth, color type 0 (gray) / 2 (RGB) / 6 (RGBA), non-interlaced.
+    Palette, 16-bit, and interlaced variants raise at the seam (Pillow
+    territory), as do truncated payloads."""
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        raise NotImplementedError(
+            f"truncated or non-PNG payload ({len(payload)} bytes)"
+        )
+    length, tag = struct.unpack_from(">I4s", payload, 8)
+    if tag != b"IHDR" or length != 13:
+        raise NotImplementedError("PNG without leading IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", payload, 16
+    )
+    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG is decoded here "
+            f"(got depth={depth}, color={color}, interlace={interlace}); "
+            "palette/16-bit/interlaced need Pillow"
+        )
+    return w, h, color
+
+
+def _png_scanlines(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """(w, h, channels, unfiltered scanlines top-down). Implements all five
+    PNG filter reconstructions (None/Sub/Up/Average/Paeth)."""
+    w, h, color = _png_info(payload)
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise NotImplementedError("truncated PNG chunk")
+        if tag == b"IDAT":
+            idat += data
+        pos += 12 + ln
+        if tag == b"IEND":
+            break
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError(
+            f"PNG pixel data size mismatch ({len(raw)} vs {h * (stride + 1)})"
+        )
+    prev = bytearray(stride)
+    rows: list[bytes] = []
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ft}")
+        rows.append(bytes(line))
+        prev = line
+    return w, h, ch, rows
+
+
+def _png_pixels(payload: bytes):
+    """Yield (x, y, b, g, r) — the same channel order as _bmp_pixels (gray
+    expands to b=g=r); y runs top-down (PNG order)."""
+    w, _h, ch, rows = _png_scanlines(payload)
+    for y, line in enumerate(rows):
+        for x in range(w):
+            i = x * ch
+            if ch == 1:
+                v = line[i]
+                yield x, y, v, v, v
+            else:
+                yield x, y, line[i + 2], line[i + 1], line[i]
+
+
+def _resize_png(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample; output re-encodes as filter-0 scanlines
+    with the source's channel count."""
+    w, h, ch, rows = _png_scanlines(payload)
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    for y in range(new_h):
+        raw.append(0)
+        src = rows[min(y * h // new_h, h - 1)]
+        for x in range(new_w):
+            sx = min(x * w // new_w, w - 1) * ch
+            raw += src[sx : sx + ch]
+    ihdr = struct.pack(">IIBBBBB", new_w, new_h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def make_wav_payload(media_id: int) -> bytes:
@@ -200,8 +366,9 @@ def make_fake_payload(kind: str, media_id: int) -> bytes:
 
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table (distributed generation, per-row seeded):
-    image rows carry REAL BMPs, audio rows REAL WAVs, video rows the FAKE
-    container (the one kind with no dependency-free real format)."""
+    image rows carry REAL BMPs/PNGs (alternating), audio rows REAL WAVs,
+    video rows the FAKE container (the one kind with no dependency-free
+    real format)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -211,7 +378,8 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 i = int(i)
                 kind = kinds[(i + seed) % 3]
                 if kind == "image":
-                    payload = make_bmp_payload(i)
+                    # alternate REAL codecs: even ids BMP, odd ids PNG
+                    payload = make_bmp_payload(i) if i % 2 == 0 else make_png_payload(i)
                 elif kind == "audio":
                     payload = make_wav_payload(i)
                 else:
@@ -242,6 +410,12 @@ def _decode_header(payload: bytes) -> dict:
     kind = _sniff(payload)
     if kind == "bmp":  # real BMP
         w, h, _ = _bmp_dims(payload)
+        return {
+            "width": w, "height": h, "n_frames": 1,
+            "sample_rate": None, "n_channels": None,
+        }
+    if kind == "png":  # real PNG
+        w, h, _ = _png_info(payload)
         return {
             "width": w, "height": h, "n_frames": 1,
             "sample_rate": None, "n_channels": None,
@@ -324,6 +498,9 @@ def content_features(media: DataFrame) -> DataFrame:
             if fmt == "bmp":
                 for _, _, bb, gg, rr in _bmp_pixels(p):
                     bins[((bb + gg + rr) // 3) >> 4] += 1
+            elif fmt == "png":
+                for _, _, bb, gg, rr in _png_pixels(p):
+                    bins[((bb + gg + rr) // 3) >> 4] += 1
             elif fmt == "wav":
                 for s in _wav_samples(p):
                     bins[min(abs(s), 32767) >> 11] += 1
@@ -370,6 +547,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             fmt = _sniff(p)
             if fmt == "bmp":
                 return _resize_bmp(p, width, height)
+            if fmt == "png":
+                return _resize_png(p, width, height)
             if fmt == "wav":
                 return p
             if fmt == "fake":

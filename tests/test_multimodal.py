@@ -70,11 +70,21 @@ def test_image_features_match_local_pixel_histogram(spark):
         .collect()
     }
     assert rows
-    from darkbo_spark.multimodal.binary_ops import _bmp_pixels
+    from darkbo_spark.multimodal.binary_ops import (
+        _bmp_pixels,
+        _png_pixels,
+        make_png_payload,
+    )
 
     for mid, feats in rows.items():
         bins = [0] * 16
-        for _, _, b, g, r_ in _bmp_pixels(make_bmp_payload(mid)):
+        # synth_media alternates the two REAL image codecs by id parity
+        pixels = (
+            _bmp_pixels(make_bmp_payload(mid))
+            if mid % 2 == 0
+            else _png_pixels(make_png_payload(mid))
+        )
+        for _, _, b, g, r_ in pixels:
             bins[((b + g + r_) // 3) >> 4] += 1
         total = sum(bins)
         want = [round(c / total, 6) for c in bins]
@@ -112,8 +122,9 @@ def test_resize_real_bmp_resample(spark):
 
 
 def test_real_codec_seam_raises():
+    # JPEG magic — PNG is now decoded for real, JPEG still needs Pillow
     with pytest.raises(Exception, match="Pillow|pyav"):
-        _decode_header(b"\x89PNG\r\n\x1a\n....")
+        _decode_header(b"\xff\xd8\xff\xe0\x00\x10JFIF....")
 
 
 def test_fake_payload_roundtrip():
@@ -136,3 +147,126 @@ def test_truncated_payloads_raise_at_the_seam():
     ]:
         with pytest.raises(NotImplementedError):
             _decode_header(payload)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (stdlib struct + zlib)
+# ---------------------------------------------------------------------------
+
+
+def test_png_payload_roundtrips_pixels():
+    from darkbo_spark.multimodal.binary_ops import (
+        _png_info,
+        _png_pixels,
+        make_png_payload,
+    )
+
+    p = make_png_payload(7)
+    w, h, color = _png_info(p)
+    assert (w, h, color) == (16 + 7 % 48, 16 + 49 % 32, 2)
+    meta = _decode_header(p)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+    px = {(x, y): (b, g, r) for x, y, b, g, r in _png_pixels(p)}
+    assert len(px) == w * h
+    # pixel formulas match the generator exactly (R,G,B by position)
+    for (x, y) in [(0, 0), (w - 1, h - 1), (3, 5)]:
+        b, g, r = px[(x, y)]
+        assert r == (7 * 17 + x + y * 19) % 256
+        assert g == (7 * 11 + x * 13 + y) % 256
+        assert b == (7 * 5 + x * 3 + y * 7) % 256
+
+
+def test_png_unfilter_inverts_all_five_filter_types():
+    """Encode scanlines FORWARD with each PNG filter (the spec's filter
+    functions) and assert the decoder's reconstruction recovers the exact
+    raw bytes — covers Sub/Up/Average/Paeth, not just the filter-0 path
+    our encoder emits."""
+    import zlib as _zlib
+
+    from darkbo_spark.multimodal.binary_ops import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_scanlines,
+    )
+
+    w, h, ch = 5, 5, 3
+    stride = w * ch
+    rows = [
+        bytes(((x * 37 + y * 91 + 7) % 256) for x in range(stride))
+        for y in range(h)
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(rows):
+        ft = y % 5  # one row per filter type
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] - a) & 0xFF
+            elif ft == 2:
+                v = (line[i] - b) & 0xFF
+            elif ft == 3:
+                v = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (line[i] - paeth(a, b, c)) & 0xFF
+            raw.append(v)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, _, got = _png_scanlines(payload)
+    assert got == rows
+
+
+def test_png_resize_nearest_neighbor():
+    from darkbo_spark.multimodal.binary_ops import (
+        _png_pixels,
+        _resize_png,
+        make_png_payload,
+    )
+
+    p = make_png_payload(4)
+    src = {(x, y): v for x, y, *v in ((x, y, b, g, r) for x, y, b, g, r in _png_pixels(p))}
+    out = _resize_png(p, 8, 8)
+    px = {(x, y): (b, g, r) for x, y, b, g, r in _png_pixels(out)}
+    assert len(px) == 64
+    assert px[(0, 0)] == tuple(src[(0, 0)])
+
+
+def test_png_unsupported_variants_raise_at_the_seam():
+    import zlib as _zlib
+
+    from darkbo_spark.multimodal.binary_ops import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_info,
+    )
+
+    # palette (color type 3) and 16-bit depth refuse cleanly
+    for depth, color in [(8, 3), (16, 2)]:
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 10))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            _png_info(payload)
+    with pytest.raises(NotImplementedError):
+        _png_info(_PNG_SIG + b"\x00\x00")  # truncated
