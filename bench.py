@@ -54,6 +54,8 @@ HEADLINE = [
     "token_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_x",
+    "neardup_clusters_x",
+    "dedup_keep_best_x",
     "simhash_docs",
     "simhash_neardup_pairs",
     "simhash_neardup_pairs_x",

@@ -70,6 +70,12 @@ _DRIVER_WINDOW = [
     # -- new this round: the stored items+postings+dense serve replayed in
     #    DuckDB end to end --
     "prebuild_query_hybrid_x",
+    # -- new this round: transitive near-dup clustering + quality-aware
+    #    retention, both fully oracled (pairs CTEs shared with the minhash
+    #    twin; displaces two rows-only media entries that keep their r02
+    #    records) --
+    "neardup_clusters_x",
+    "dedup_keep_best_x",
     # -- last driver row is from round 1/2 (rotated out of the r03 window) --
     "kg_raw_triples",
     "kg_linked_entities",
@@ -81,8 +87,6 @@ _DRIVER_WINDOW = [
     "chunk_documents",
     "embed_documents",
     "media_decode",
-    "media_features",
-    "media_frame_sample",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "region_rollup",

@@ -344,3 +344,71 @@ def token_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """(doc_id, rep_id): every document mapped to its near-duplicate
+    CLUSTER representative — candidate pairs (MinHash banding by default,
+    or any (id_a, id_b) frame via `pairs`) closed transitively with
+    connected components (operators/components.py star contraction),
+    representative = min doc_id per cluster, singletons map to themselves.
+
+    This is the step an actual training-data dedup pipeline runs after
+    pair generation: near-duplication is transitive in intent (A≈B≈C is
+    one document family even when A,C never share a bucket), so keeping
+    "one per PAIR" under-dedups. Scale shape: pair generation is the
+    banded one-shuffle plan; CC is O(log n) rounds over the (tiny
+    relative to the corpus) pair set; the final mapping is one left join.
+    """
+    from darkbo_spark.operators.components import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # component label IS the min node id (components.py contract)
+    mapping = comps.select(
+        F.col("node").alias(id_col), F.col("comp").alias("rep_id")
+    )
+    return (
+        df.select(id_col)
+        .join(mapping, id_col, "left")
+        .select(id_col, F.coalesce("rep_id", F.col(id_col)).alias("rep_id"))
+    )
+
+
+def dedup_keep_best(
+    scored: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(rep_id, kept_doc_id, n_members, best_score): one kept document per
+    near-dup cluster — the HIGHEST-scoring member (ties → min doc_id).
+    `scored` is (doc_id, score); `clusters` is neardup_clusters' output.
+    The quality-aware form of A5's first-wins dedup: a pipeline keeps the
+    best page of a duplicate family, not an arbitrary one. One shuffle on
+    rep_id (window + count share the partitioning)."""
+    from pyspark.sql.window import Window
+
+    j = scored.join(clusters, id_col)
+    w = Window.partitionBy("rep_id")
+    wr = w.orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        j.withColumn("_rk", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "rep_id",
+            F.col(id_col).alias("kept_doc_id"),
+            "n_members",
+            F.col(score_col).alias("best_score"),
+        )
+    )

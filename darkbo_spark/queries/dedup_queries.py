@@ -211,11 +211,13 @@ def simhash_docs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PH60_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
 
 
-def _minhash_portable_oracle(
+def _minhash_pair_ctes(
     k: int, bands: int, n: int, seed: int, max_bucket: int
 ) -> str:
-    # corpus size comes from _NEARDUP_CORPUS_SQL's shared _NEARDUP_ID_LIMIT
-    # (no separate limit knob here — the two sides can't desync)
+    """The portable-minhash pipeline as a CTE BLOCK ending in `pairs` —
+    shared by the pairs oracle and the clustering oracles so the pair
+    generation can never diverge between them. Corpus size comes from
+    _NEARDUP_CORPUS_SQL's shared _NEARDUP_ID_LIMIT (no separate knob)."""
     from darkbo_spark.operators.dedup import _MERSENNE_P, _perm_constants
 
     consts = _perm_constants(k, seed)
@@ -231,8 +233,7 @@ def _minhash_portable_oracle(
         for b in range(bands)
     )
     # corpus = documents prefix + planted near-dups (see _NEARDUP_CORPUS_SQL)
-    return f"""
-WITH docs AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+    return f"""docs AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
               FROM {_NEARDUP_CORPUS_SQL} base),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -250,12 +251,105 @@ sh AS (
 capped AS (
   SELECT banded.doc_id, banded.band, banded.bucket
   FROM banded JOIN sizes USING (band, bucket) WHERE sz <= {max_bucket}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_portable_oracle(
+    k: int, bands: int, n: int, seed: int, max_bucket: int
+) -> str:
+    return f"""
+WITH {_minhash_pair_ctes(k, bands, n, seed, max_bucket)}
+SELECT id_a, id_b FROM pairs
 ORDER BY id_a, id_b
 """
+
+
+def _neardup_cluster_ctes(k: int, bands: int, n: int, seed: int, max_bucket: int) -> str:
+    """pairs → transitive closure (RECURSIVE min-label fixpoint, the same
+    pattern the CC oracle in kg/oracle_twin.py uses) → (doc_id, rep_id)
+    over the FULL corpus (singletons map to themselves)."""
+    return f"""{_minhash_pair_ctes(k, bands, n, seed, max_bucket)},
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node),
+corpus AS (SELECT doc_id, text FROM {_NEARDUP_CORPUS_SQL} t),
+clusters AS (
+  SELECT c.doc_id, COALESCE(p.rep, c.doc_id) AS rep_id
+  FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+)"""
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_neardup_cluster_ctes(16, 4, 3, 42, 500)}
+SELECT doc_id, rep_id FROM clusters
+ORDER BY doc_id
+"""
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_neardup_cluster_ctes(16, 4, 3, 42, 500)},
+scored AS (
+  SELECT doc_id, {ta.sql_quality_score('text')} AS q
+  FROM {_NEARDUP_CORPUS_SQL} t
+),
+ranked AS (
+  SELECT cl.rep_id, s.doc_id, s.q,
+         ROW_NUMBER() OVER (PARTITION BY cl.rep_id
+                            ORDER BY s.q DESC, s.doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY cl.rep_id) AS n_members
+  FROM clusters cl JOIN scored s USING (doc_id)
+)
+SELECT rep_id, doc_id AS kept_doc_id, CAST(n_members AS BIGINT) AS n_members,
+       q AS best_quality
+FROM ranked WHERE rk = 1
+ORDER BY rep_id
+"""
+
+
+@_q("neardup_clusters_x", _CLUSTERS_ORACLE)
+def neardup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERING driver-oracled end to end: the real
+    banded-MinHash pair generation (portable hash mode) closed with the
+    distributed star-contraction connected components, vs the identical
+    pair CTEs + a recursive min-label fixpoint in DuckDB. Proves the step
+    real dedup pipelines run after pair generation — one representative
+    per document FAMILY, not per pair."""
+    from darkbo_spark.operators.dedup import neardup_clusters
+
+    docs = _neardup_corpus(spark, sf_dir)
+    return neardup_clusters(
+        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
+    )
+
+
+@_q("dedup_keep_best_x", _KEEP_BEST_ORACLE)
+def dedup_keep_best_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention, fully oracled: per near-dup cluster
+    keep the member with the HIGHEST quality score (ties → min doc_id) —
+    the A5 first-wins dedup upgraded to 'keep the best page of the
+    family', scored by the oracled quality_score operator."""
+    from darkbo_spark.operators.dedup import dedup_keep_best, neardup_clusters
+
+    docs = _neardup_corpus(spark, sf_dir)
+    clusters = neardup_clusters(
+        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
+    )
+    scored = docs.select("doc_id", ta.quality_score(F.col("text")).alias("q"))
+    return dedup_keep_best(scored, clusters, id_col="doc_id", score_col="q").select(
+        "rep_id",
+        "kept_doc_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("best_score").alias("best_quality"),
+    )
 
 
 def _simhash_portable_oracle(max_hamming: int, max_bucket: int, id_limit: int) -> str:

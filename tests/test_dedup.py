@@ -144,3 +144,80 @@ def test_simhash_banded_pairs_equal_brute_force(spark):
                                        max_bucket=10_000).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _cluster_corpus(spark):
+    """Three explicit near-dup families + singletons: A≈B≈C chained (A,C
+    may never share a bucket — transitivity must connect them), D≈E, and
+    two unrelated docs."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),
+        (2, base + " extra more"),
+        (10, "completely different words about spark shuffles and joins here"),
+        (11, "completely different words about spark shuffles and joins there"),
+        (20, "an unrelated singleton document speaking of nothing in particular"),
+        (21, "another lonely text with its own vocabulary entirely separate"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_neardup_clusters_transitive_and_total(spark):
+    from darkbo_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    docs = _cluster_corpus(spark)
+    clusters = neardup_clusters(docs, "text", "doc_id", k=16, bands=8, persist=False)
+    got = {r.doc_id: r.rep_id for r in clusters.collect()}
+    # total: every doc mapped exactly once
+    assert set(got) == {0, 1, 2, 10, 11, 20, 21}
+    # transitive closure over whatever pairs LSH emitted: reps must equal
+    # a driver-side union-find over the same pairs
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", k=16, bands=8, persist=False
+        ).collect()
+    ]
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in got}
+    assert got == want
+    # the intended families actually cluster (near-identical text)
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == 10
+    assert got[20] == 20 and got[21] == 21
+
+
+def test_dedup_keep_best_picks_argmax_per_cluster(spark):
+    from darkbo_spark.operators.dedup import dedup_keep_best, neardup_clusters
+
+    docs = _cluster_corpus(spark)
+    clusters = neardup_clusters(docs, "text", "doc_id", k=16, bands=8, persist=False)
+    scored = docs.select(
+        "doc_id", (F.col("doc_id") % 7).cast("double").alias("score")
+    )
+    kept = {
+        r.rep_id: (r.kept_doc_id, r.n_members, r.best_score)
+        for r in dedup_keep_best(scored, clusters).collect()
+    }
+    cl = {r.doc_id: r.rep_id for r in clusters.collect()}
+    members = {}
+    for d, rep in cl.items():
+        members.setdefault(rep, []).append(d)
+    assert set(kept) == set(members)
+    for rep, (kd, n, best) in kept.items():
+        ms = members[rep]
+        assert n == len(ms)
+        want = max(ms, key=lambda d: (d % 7, -d))
+        assert kd == want and best == float(want % 7)
