@@ -63,7 +63,9 @@ def _corpus_fp(sf_dir: str, table: str) -> str:
     return hashlib.md5(f"{sf_dir}|{table}|{parts}".encode()).hexdigest()
 
 
-def _stored_table(sf_dir: str, name: str, source_table: str, build, partition_by=None):
+def _stored_table(
+    sf_dir: str, name: str, source_table: str, build, partition_by=None, tag: str = ""
+):
     """Publish-once plumbing for the stored-index queries: per-user tmp
     base (no cross-user collisions) and the publish held under a
     BuildLock with a double-checked fingerprint — concurrent driver /
@@ -80,7 +82,10 @@ def _stored_table(sf_dir: str, name: str, source_table: str, build, partition_by
         tempfile.gettempdir(), f"darkbo_spark_indexes_u{os.getuid()}"
     )
     table = SnapshotTable(base, name)
-    fp = _corpus_fp(sf_dir, source_table)
+    # `tag` versions the STORED LAYOUT (schema/partitioning changes): a
+    # layout change must republish even over an unchanged corpus, or a
+    # stale pre-change version would be served to new readers
+    fp = _corpus_fp(sf_dir, source_table) + (f"|{tag}" if tag else "")
     if table.current_fingerprint() == fp:
         return table
     lock = BuildLock(base, name)

@@ -253,14 +253,38 @@ def parsed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10)
 
+# the stored sparse index is PARTITIONED by a token-hash bucket so a query
+# scans only the partitions its terms hash into (PartitionFilters pruning —
+# the same trick ann_ivf_stored plays with IVF cells). 32 buckets: coarse
+# enough for healthy file sizes at corpus scale, fine enough that a
+# handful of query terms prunes ~90% of the index.
+_POSTINGS_BUCKETS = 32
+
+
+def _tok_bucket_col(col: F.Column) -> F.Column:
+    from darkbo_spark.operators.dedup import portable_hash60
+
+    return F.pmod(portable_hash60(col), F.lit(_POSTINGS_BUCKETS)).cast("int")
+
+
+def _tok_bucket_py(token: str) -> int:
+    """Driver-side twin of _tok_bucket_col (md5-60 % buckets) — computes
+    the partition literals for a query's term set without a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % _POSTINGS_BUCKETS
+
+
 @_q("parsed_search_stored", _PARSED_ORACLE)
 def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 end-to-end: the BM25 postings are MATERIALIZED once as a
-    published SnapshotTable version (the production claim in docs/SCALE.md —
-    build the sparse index once, serve every query from the stored table),
-    then the same raw-query search runs against the STORED postings. Same
-    oracle as the inline form — the driver hash proves store+serve loses
-    nothing. Re-runs over the same corpus hit the fingerprint skip."""
+    published SnapshotTable version partitioned by token-hash bucket (the
+    production claim in docs/SCALE.md — build the sparse index once, serve
+    every query from the stored table), then the same raw-query search
+    runs against ONLY the stored partitions the query's terms hash into
+    (PartitionFilters pruning, gated in docs/PLANS.md). Same oracle as the
+    inline form — the driver hash proves store+serve+prune loses nothing.
+    Re-runs over the same corpus hit the fingerprint skip."""
     from darkbo_spark.operators.queryparse import search_text
     from darkbo_spark.operators.tfidf import build_bm25_postings
 
@@ -271,9 +295,17 @@ def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "bm25_postings",
         "documents",
-        lambda: build_bm25_postings(docs, persist=False),
+        lambda: build_bm25_postings(docs, persist=False).withColumn(
+            "tok_bucket", _tok_bucket_col(F.col("token"))
+        ),
+        partition_by=["tok_bucket"],
+        tag=f"tok_bucket{_POSTINGS_BUCKETS}",
     )
-    stored = table.read(spark)
+    # every postings use downstream joins against the query's term sets
+    # (AND match on _PARSED.terms, ranking on _RANK_TERMS), so rows outside
+    # those buckets can never join — prune them at the SCAN
+    need = sorted({_tok_bucket_py(t) for t in set(_PARSED.terms) | set(_RANK_TERMS)})
+    stored = table.read(spark).filter(F.col("tok_bucket").isin(need))
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=stored)
 
 # ---------------------------------------------------------------------------

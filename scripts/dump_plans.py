@@ -61,7 +61,9 @@ CHECKS = {
     # --- stored-index serving paths: broadcast query-term join over the
     # published postings scan; literal probe-cell PARTITION pruning on the
     # cell-partitioned IVF index scan ------------------------------------------
-    "parsed_search_stored": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "parsed_search_stored": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "PartitionFilters: [tok_bucket",
+    ],
     "ann_ivf_stored": ["PartitionFilters: [cell", "!CartesianProduct"],
     # --- KG oracle twins: the real pipeline shapes — column-pruned parquet
     # scan into the Arrow UDF stages (narrow maps, no shuffle before the
