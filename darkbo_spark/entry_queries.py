@@ -76,6 +76,7 @@ _DRIVER_WINDOW = [
     #    records) --
     "neardup_clusters_x",
     "dedup_keep_best_x",
+    "parsed_search_incremental_x",
     # -- last driver row is from round 1/2 (rotated out of the r03 window) --
     "kg_raw_triples",
     "kg_linked_entities",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW = [
     "title_derivation",
     "chunk_documents",
     "embed_documents",
-    "media_decode",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "region_rollup",

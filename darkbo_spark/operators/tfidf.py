@@ -164,3 +164,103 @@ def score_query(postings: DataFrame, query_terms: list[str], top_k: int = 10) ->
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def build_tf_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The INCREMENTAL form of the sparse index: instead of final BM25
+    weights (which depend on global df/avgdl and would all change when one
+    document lands), store the RAW sufficient statistics —
+
+        tf_index(token, doc_id, tf, dl)   +   stats(n_docs, sum_dl)
+
+    Ingesting a delta is then an upsert of the delta's rows plus two
+    integer additions to stats (`merge_tf_delta`); nothing global is
+    recomputed. Weights are derived AT QUERY TIME for just the query's
+    terms (`bm25_weights_for_terms`) — df for a term is a count over that
+    term's rows only, so serving stays a term-bucket-sized job while the
+    index updates incrementally. Exact parity with the full rebuild
+    (build_bm25_postings) is by construction: same integer statistics →
+    the same IEEE arithmetic → the same 6dp-rounded weights (driver
+    hash-verified by parsed_search_incremental_x)."""
+    tf = _term_freq(docs, text_col, id_col, persist=persist)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf_index = tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    return tf_index, stats
+
+
+def merge_tf_delta(
+    tf_index: DataFrame,
+    stats: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Upsert a document delta into the raw-statistics index: replaced
+    doc_ids drop their old rows (anti join), the delta's rows append, and
+    stats adjust by exact integer deltas. No global recompute — the cost
+    scales with the DELTA, not the corpus."""
+    d_tf, d_stats = build_tf_index(delta_docs, text_col, id_col)
+    delta_ids = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    removed = tf_index.join(delta_ids, "doc_id", "left_semi")
+    removed_stats = removed.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("rm_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("rm_dl"),
+    )
+    kept = tf_index.join(delta_ids, "doc_id", "left_anti")
+    merged = kept.unionByName(d_tf).select("token", "doc_id", "tf", "dl")
+    new_stats = (
+        stats.crossJoin(d_stats.withColumnsRenamed({"n_docs": "d_docs", "sum_dl": "d_dl"}))
+        .crossJoin(removed_stats)
+        .select(
+            (F.col("n_docs") - F.col("rm_docs") + F.col("d_docs")).alias("n_docs"),
+            (F.col("sum_dl") - F.col("rm_dl") + F.col("d_dl")).cast("bigint").alias("sum_dl"),
+        )
+    )
+    return merged, new_stats
+
+
+def bm25_weights_for_terms(
+    tf_index: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(token, doc_id, w) BM25 weights derived at QUERY TIME from the raw
+    tf/dl statistics, for exactly the given terms — identical arithmetic
+    (and 6dp rounding) to build_bm25_postings, so serving from the
+    incremental index is bit-equal to serving from a full rebuild."""
+    spark = tf_index.sparkSession
+    import pandas as pd
+
+    q = spark.createDataFrame(pd.DataFrame({"token": sorted(set(terms))}))
+    sub = tf_index.join(F.broadcast(q), "token")
+    df_t = sub.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    st = F.broadcast(
+        stats.select(
+            "n_docs",
+            (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        sub.join(F.broadcast(df_t), "token")
+        .crossJoin(st)
+        .select("token", "doc_id", F.round(idf * tf_norm, 6).alias("w"))
+    )

@@ -308,6 +308,45 @@ def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = table.read(spark).filter(F.col("tok_bucket").isin(need))
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=stored)
 
+@_q("parsed_search_incremental_x", _PARSED_ORACLE)
+def parsed_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sparse-index maintenance, driver-proven equal to a full
+    rebuild: the index stores raw sufficient statistics (token, doc_id,
+    tf, dl) + (n_docs, sum_dl) instead of final BM25 weights, so a
+    document delta is an upsert + two integer additions — no global
+    recompute (operators/tfidf.py: build_tf_index / merge_tf_delta).
+    Here the initial build deliberately contains STALE text for every
+    third document; the delta upserts the true text (exercising the
+    replace path, not just append), weights derive at query time for just
+    the query's terms (bm25_weights_for_terms), and the SAME full-corpus
+    oracle as parsed_search_topk hash-verifies that incremental ≡ rebuilt
+    ≡ DuckDB. Production publishes each merged index as a SnapshotTable
+    version (the parsed_search_stored plumbing)."""
+    from darkbo_spark.operators.queryparse import search_text
+    from darkbo_spark.operators.tfidf import (
+        bm25_weights_for_terms,
+        build_tf_index,
+        merge_tf_delta,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 3 == 0
+    # initial index: every third doc indexed with WRONG text (a stale
+    # earlier version); the delta re-ingests those docs with true text
+    stale = docs.select(
+        "doc_id",
+        F.when(is_delta, F.lit("stale placeholder text")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    tf0, st0 = build_tf_index(stale)
+    tf1, st1 = merge_tf_delta(tf0, st0, docs.filter(is_delta).select("doc_id", "text"))
+    postings = bm25_weights_for_terms(
+        tf1, st1, sorted(set(_PARSED.terms) | set(_RANK_TERMS))
+    )
+    return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=postings)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval (the reference's core query: dense ∪ sparse ∪ basic with
 # dense-first precedence dedup + top-k)

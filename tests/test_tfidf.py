@@ -48,3 +48,46 @@ def test_postings_and_scores_match_oracle(spark):
     # ranking: doc0 (2×table + scan) above doc3 (3×scan, rarer? same idf)
     order = [r.doc_id for r in scored]
     assert order == sorted(want, key=lambda i: (-want[i], i))
+
+
+def test_incremental_tf_index_equals_full_rebuild(spark):
+    """merge_tf_delta (upsert + integer stat deltas) must reproduce the
+    full rebuild EXACTLY — rows and stats — including the replace path
+    (docs re-ingested with changed text), and the query-time weights must
+    equal build_bm25_postings' for the same terms."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.operators.tfidf import (
+        bm25_weights_for_terms,
+        build_bm25_postings,
+        build_tf_index,
+        merge_tf_delta,
+    )
+
+    rows = [(i, f"tok{i % 5} shared word number{i}") for i in range(30)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # stale initial state: every 4th doc carries old text
+    stale = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("obsolete body"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tf0, st0 = build_tf_index(stale)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    tf1, st1 = merge_tf_delta(tf0, st0, delta)
+
+    tf_full, st_full = build_tf_index(docs)
+    assert {tuple(r) for r in tf1.collect()} == {tuple(r) for r in tf_full.collect()}
+    assert st1.collect() == st_full.collect()
+
+    terms = ["shared", "tok1", "word"]
+    w_inc = {(r.token, r.doc_id): r.w for r in bm25_weights_for_terms(tf1, st1, terms).collect()}
+    w_full = {
+        (r.token, r.doc_id): r.w
+        for r in build_bm25_postings(docs, persist=False)
+        .filter(F.col("token").isin(terms))
+        .collect()
+    }
+    assert w_inc == w_full and len(w_inc) > 0
