@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -370,4 +371,98 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         stateStructType=_SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+DOCS_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+_TF_SCHEMA = "token string, doc_id bigint, tf bigint, dl bigint"
+
+
+def read_tf_index(spark: SparkSession, index_dir: str):
+    """(tf_index DF, stats DF) from the streamed index: rows from the
+    current SnapshotTable version, (n_docs, sum_dl) from its version
+    metadata — the two scalars commit ATOMICALLY with the rows they
+    describe (meta.json is the version's commit marker)."""
+    import pandas as pd
+
+    from darkbo_spark.storage.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(index_dir, "tf_index")
+    cur = tbl.current()
+    if cur is None:
+        tf = spark.createDataFrame([], _TF_SCHEMA)
+        stats = spark.createDataFrame(
+            pd.DataFrame({"n_docs": [0], "sum_dl": [0]})
+        ).select(F.col("n_docs").cast("long"), F.col("sum_dl").cast("long"))
+        return tf, stats
+    meta = next(m for m in tbl.versions() if m["version"] == cur["version"])
+    stats = spark.createDataFrame(
+        pd.DataFrame({"n_docs": [meta["n_docs"]], "sum_dl": [meta["sum_dl"]]})
+    ).select(F.col("n_docs").cast("long"), F.col("sum_dl").cast("long"))
+    return tbl.read(spark), stats
+
+
+def stream_docs_to_tf_index(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming INCREMENTAL sparse-index maintenance: each micro-batch of
+    landed documents upserts into the stored raw-statistics index
+    (operators/tfidf.merge_tf_delta over a SnapshotTable), so the sparse
+    index stays fresh as documents stream in — the production shape of
+    'build once, serve many' when the corpus never stops growing.
+
+    Exactly-once EFFECT under at-least-once foreachBatch:
+    * the per-batch fingerprint is the batch_id, so replaying a batch
+      whose publish committed hits the fingerprint skip;
+    * tf rows and the (n_docs, sum_dl) stats commit ATOMICALLY — stats
+      travel in the version's meta.json (the commit marker), never as a
+      second table that could tear from its rows on a crash between
+      publishes;
+    * within the window where a replayed merge actually re-runs (crash
+      before the meta commit), the current index cannot yet contain the
+      batch, so the incremental stat deltas are exact.
+
+    Batches are upserts: a doc_id re-landing REPLACES its old rows (the
+    merge_tf_delta contract). Callers must not put two versions of one
+    doc_id in a single file batch (last-writer is undefined there)."""
+    from darkbo_spark.operators.tfidf import merge_tf_delta
+    from darkbo_spark.storage.snapshots import SnapshotTable
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = SnapshotTable(index_dir, "tf_index")
+        fp = f"batch{batch_id}"
+        if tbl.current_fingerprint() == fp:
+            return  # committed replay
+        tf, stats = read_tf_index(spark, index_dir)
+        merged, new_stats = merge_tf_delta(tf, stats, batch_df)
+        # localCheckpoint: the merged plan references the CURRENT version's
+        # files; materialize before publish so expire() of old versions can
+        # never race the write that reads them
+        merged = merged.localCheckpoint(eager=True)
+        ns = new_stats.collect()[0]
+        tbl.publish(
+            merged,
+            fp,
+            extra_meta={"n_docs": int(ns.n_docs), "sum_dl": int(ns.sum_dl)},
+        )
+        tbl.expire(retain_last=3)
+
+    return (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -344,3 +344,52 @@ def test_stream_refuses_output_without_checkpoint(spark, tmp_path):
     shutil.rmtree(ckpt)
     with pytest.raises(ValueError, match="checkpoint"):
         stream_pages_to_triples(spark, inp, outp, str(tmp_path / "ckpt2_new"))
+
+
+def test_stream_incremental_tf_index_equals_batch_build(spark, tmp_path):
+    """Streaming incremental sparse-index maintenance: after streaming all
+    document files (including a wave that REPLACES earlier doc_ids), the
+    stored tf index + stats must equal a batch build over the final
+    corpus; a restart with no new files publishes nothing new."""
+    from darkbo_spark.operators.tfidf import build_tf_index
+    from darkbo_spark.storage.snapshots import SnapshotTable
+    from darkbo_spark.streaming.ingest import (
+        read_tf_index,
+        stream_docs_to_tf_index,
+    )
+
+    inp = str(tmp_path / "docs_in")
+    idx = str(tmp_path / "tf_idx")
+    ckpt = str(tmp_path / "tf_ckpt")
+
+    def docs_df(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    wave1 = [(i, f"alpha beta tok{i % 4} filler{i}") for i in range(30)]
+    docs_df(wave1).coalesce(2).write.mode("append").parquet(inp)
+    q = stream_docs_to_tf_index(spark, inp, idx, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    # wave 2: replace every 5th doc + add new ones
+    wave2 = [(i, f"REPLACED gamma tok{i % 3}") for i in range(0, 30, 5)]
+    wave2 += [(i, f"alpha delta filler{i}") for i in range(30, 40)]
+    docs_df(wave2).coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_docs_to_tf_index(spark, inp, idx, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+
+    final = {r[0]: r[1] for r in wave1}
+    final.update({r[0]: r[1] for r in wave2})
+    full_tf, full_stats = build_tf_index(
+        docs_df(sorted(final.items()))
+    )
+    got_tf, got_stats = read_tf_index(spark, idx)
+    assert {tuple(r) for r in got_tf.collect()} == {
+        tuple(r) for r in full_tf.collect()
+    }
+    assert got_stats.collect() == full_stats.collect()
+
+    # restart with nothing new → no new version
+    seq_before = SnapshotTable(idx, "tf_index").current()["seq"]
+    q3 = stream_docs_to_tf_index(spark, inp, idx, ckpt, max_files_per_trigger=1)
+    q3.awaitTermination(120)
+    assert SnapshotTable(idx, "tf_index").current()["seq"] == seq_before
