@@ -77,6 +77,7 @@ def build_bm25_postings(
     k1: float = 1.2,
     b: float = 0.75,
     persist: bool = True,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """(token, doc_id, w) BM25 postings — the true sparse channel of the
     reference (Whoosh BM25F scoring, behavior /root/reference/ai_worker.py:208-226;
@@ -92,8 +93,12 @@ def build_bm25_postings(
     are map-side-combined."""
     # dl and df both derive FROM the persisted tf — the expensive
     # explode+shuffle over the raw tokens runs once; the rollups are
-    # map-side-combinable aggregates over the (much smaller) term table
-    tf = _term_freq(docs, text_col, id_col, persist=persist)
+    # map-side-combinable aggregates over the (much smaller) term table.
+    # Callers that publish ONCE and then want the cache gone pass their
+    # own persisted `tf` and unpersist it after the write (the stored-
+    # index path) instead of leaving an LRU entry behind.
+    if tf is None:
+        tf = _term_freq(docs, text_col, id_col, persist=persist)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = F.broadcast(

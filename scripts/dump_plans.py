@@ -65,6 +65,12 @@ CHECKS = {
         "BroadcastHashJoin", "TakeOrderedAndProject", "PartitionFilters: [tok_bucket",
     ],
     "ann_ivf_stored": ["PartitionFilters: [cell", "!CartesianProduct"],
+    # --- incremental sparse index: query-time weights are broadcast-term
+    # joins over the raw-stats index; upsert = anti-join + union, never a
+    # cross product or a corpus-wide sort-merge of the term sets
+    "parsed_search_incremental_x": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct",
+    ],
     # --- KG oracle twins: the real pipeline shapes — column-pruned parquet
     # scan into the Arrow UDF stages (narrow maps, no shuffle before the
     # explode), and both link lookups as broadcast joins of the triples side
