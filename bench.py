@@ -37,6 +37,7 @@ HEADLINE = [
     "bm25_topk",
     "parsed_search_topk",
     "parsed_search_stored",
+    "parsed_search_incremental_x",
     "dense_topk",
     "ann_multiprobe_topk",
     "ann_ivf_topk",
