@@ -22,7 +22,6 @@ are per-row maps with no shuffle between them; only their fused output
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import time
 from dataclasses import dataclass, field

@@ -19,7 +19,6 @@ one code path for batch and stream.
 
 from __future__ import annotations
 
-import datetime as dt
 from typing import Iterator, Tuple
 
 import pandas as pd
