@@ -270,3 +270,42 @@ def test_png_unsupported_variants_raise_at_the_seam():
             _png_info(payload)
     with pytest.raises(NotImplementedError):
         _png_info(_PNG_SIG + b"\x00\x00")  # truncated
+
+
+def test_png_roundtrip_property():
+    """Property: encode→decode is lossless for arbitrary RGB pixel
+    matrices and dimensions (hypothesis-driven, tiny images for speed)."""
+    from hypothesis import given, settings, strategies as st
+
+    from darkbo_spark.multimodal.binary_ops import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_pixels,
+        _png_scanlines,
+    )
+    import zlib as _zlib
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31),
+    )
+    def roundtrip(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        rows = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+        raw = b"".join(b"\x00" + r for r in rows)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        gw, gh, ch, got = _png_scanlines(payload)
+        assert (gw, gh, ch) == (w, h, 3) and got == rows
+        assert sum(1 for _ in _png_pixels(payload)) == w * h
+
+    roundtrip()

@@ -100,3 +100,36 @@ def test_unigram_logprob_known_values(spark):
     # in-vocab text must beat OOV text (the filter's discriminating power)
     assert rows[0].lp > rows[1].lp
     assert math.isfinite(rows[0].lp)
+
+
+def test_canonical_url_idempotent_property(spark):
+    """Property: canonicalization is idempotent — canon(canon(u)) ==
+    canon(u) for generated messy URLs (scheme case × port × trailing
+    slash × param order × fragment). One Spark job over the whole grid."""
+    import itertools
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.functions.urlnorm import canonical_url
+
+    urls = [
+        f"{scheme}://WWW.Example{i}.COM{port}{path}{q}{frag}"
+        for i, (scheme, port, path, q, frag) in enumerate(
+            itertools.product(
+                ["http", "HTTPS", "HtTp"],
+                ["", ":80", ":443", ":8080"],
+                ["", "/A/b", "/A/b/"],
+                ["", "?z=1&a=2"],
+                ["", "#Sec"],
+            )
+        )
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    assert len(out) == len(urls)
+    for r in out:
+        assert r.c1 == r.c2, r
