@@ -81,6 +81,7 @@ HEADLINE = [
     "prebuild_query_hybrid",
     "kg_triples_x",
     "kg_linked_x",
+    "kg_entity_pagerank_x",
     "url_canonicalize",
     "url_dedup_counts",
     "repetition_signals",

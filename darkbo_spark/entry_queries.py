@@ -77,6 +77,8 @@ _DRIVER_WINDOW = [
     "neardup_clusters_x",
     "dedup_keep_best_x",
     "parsed_search_incremental_x",
+    "kg_entity_degrees_x",
+    "kg_entity_pagerank_x",
     # -- last driver row is from round 1/2 (rotated out of the r03 window) --
     "kg_raw_triples",
     "kg_linked_entities",
@@ -85,8 +87,6 @@ _DRIVER_WINDOW = [
     "content_ids",
     "route_queries",
     "title_derivation",
-    "chunk_documents",
-    "embed_documents",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "region_rollup",

@@ -476,3 +476,73 @@ LEFT JOIN dict_norm ds  ON {norm.format(c='t.subj')} = ds.alias_norm
 LEFT JOIN dict_norm dob ON {norm.format(c='t.obj')} = dob.alias_norm
 ORDER BY t.url, t.sent_idx, t.pred
 """
+
+
+def _linked_edges_ctes(id_limit: int) -> str:
+    """triples→linked entity edges as CTEs (both eids must resolve):
+    the graph the KG's analytics run over, derived by the SAME clean →
+    segment → extract → link replay as linked_oracle_sql."""
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    return f"""{_sents_cte(id_limit)},
+{_dict_sql().lstrip()},
+e AS (
+  SELECT DISTINCT ds.eid AS src, dob.eid AS dst
+  FROM triples t
+  JOIN dict_norm ds  ON {norm.format(c='t.subj')} = ds.alias_norm
+  JOIN dict_norm dob ON {norm.format(c='t.obj')} = dob.alias_norm
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes)"""
+
+
+def degrees_oracle_sql(id_limit: int = 240) -> str:
+    # _sents_cte (inside _linked_edges_ctes) already opens the WITH clause
+    return f"""{_linked_edges_ctes(id_limit)},
+od AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+id_ AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst)
+SELECT n.node,
+       CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(id_.in_deg, 0) AS BIGINT) AS in_deg
+FROM nodes n
+LEFT JOIN od ON od.node = n.node
+LEFT JOIN id_ ON id_.node = n.node
+ORDER BY n.node
+"""
+
+
+def pagerank_oracle_sql(
+    id_limit: int = 240, iters: int = 5, damping: float = 0.85
+) -> str:
+    """Unrolled power-method replay of operators/graph.pagerank over the
+    linked entity graph. Float discipline mirrors the Spark operator
+    EXPRESSION BY EXPRESSION: per-edge contribution rounded to 12 dp and
+    summed in DECIMAL(28,12) (exact, order-free), damping update in IEEE
+    doubles — and the damping base is written as (1.0 - d)/n, NOT a
+    folded literal, because 1.0-0.85 ≠ nearest-double(0.15) and the Spark
+    side computes the subtraction."""
+    d = f"CAST({damping} AS DOUBLE)"
+    base = f"((CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn))"
+    parts = [
+        "outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(f"""r{k + 1} AS (
+  SELECT nodes.node,
+         round({base} + {d} * CAST(COALESCE(s.s, 0) AS DOUBLE), 12) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(round(r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
+    FROM e
+    JOIN r{k} r ON r.node = e.src
+    JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)""")
+    ctes = ",\n".join(parts)
+    # _sents_cte (inside _linked_edges_ctes) already opens the WITH clause
+    return f"""{_linked_edges_ctes(id_limit)},
+{ctes}
+SELECT node, rank FROM r{iters}
+ORDER BY node
+"""

@@ -1,0 +1,112 @@
+"""Graph analytics over the constructed KG — PageRank and degree
+centrality as iterative DataFrame joins (no GraphX/GraphFrames).
+
+The KG pipeline produces an entity graph (triples = edges between linked
+subj/obj entities); ranking entities by importance is the canonical next
+query a KG consumer runs (which entities anchor the graph? which pages'
+facts matter?). PageRank here is the fixed-iteration power method:
+
+    r₀(v)   = 1/N
+    rₖ₊₁(v) = (1-d)/N + d · Σ_{(u,v)∈E} rₖ(u)/outdeg(u)
+
+* **Fixed iteration count** (not convergence-tested): deterministic
+  output, cross-engine replayable, and at O(log N) mixing a handful of
+  rounds is the production pattern anyway (each round = one join + one
+  aggregate = one shuffle over the EDGE set).
+* **Dangling mass is not redistributed** (nodes without out-edges simply
+  absorb rank) — the simplest standard variant; both engines implement
+  the identical rule, so the driver hash covers it.
+* **Cross-engine float discipline**: each edge contribution is rounded
+  to 12 dp and accumulated in DECIMAL(28,12) — exact and associative, so
+  Spark's partial-aggregation order can't flip a bit vs DuckDB's serial
+  sum; the damping update then runs in IEEE doubles in the same order in
+  both engines and re-rounds to 12 dp.
+
+Scale shape: the rank vector is node-sized, the join is edges ⋈ ranks on
+src — one shuffle per iteration; outdeg is computed once. Lineage is
+truncated per round (localCheckpoint) exactly like operators/components.py,
+so iteration k doesn't replay rounds 0..k-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_centrality(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, out_deg, in_deg) over the distinct edge set — the cheap
+    importance signal (and the skew probe: head entities by in-degree are
+    the keys the link join salts)."""
+    e = edges.select(src, dst).distinct()
+    out_d = e.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("out_deg"))
+    in_d = e.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """(node, rank) after `iters` power-method rounds (see module doc).
+    Edges are deduplicated; self-loops count like any other edge."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # 12dp round → exact DECIMAL accumulation: immune to
+                # partial-aggregation order
+                F.round(F.col("rank") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            # truncate lineage: iteration k must not replay rounds 0..k-1
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -243,3 +243,49 @@ def kg_linked_salted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast ≡ salted ≡ DuckDB replay is now a driver hash fact, not
     just the pytest equality assertion."""
     return _kg_linked_twin(spark, sf_dir, "salted")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the constructed KG (beyond-reference): entity
+# importance via degree centrality and fixed-iteration PageRank, both
+# hash-oracled end to end THROUGH the pipeline — the edges come from the
+# real clean → segment → extract → link run over the SQL-constructed twin
+# corpus, and DuckDB independently replays pipeline + analytics.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import (  # noqa: E402
+    degrees_oracle_sql,
+    pagerank_oracle_sql,
+)
+
+
+def _twin_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    linked = _kg_linked_twin(spark, sf_dir, "broadcast")
+    return (
+        linked.filter(F.col("subj_eid").isNotNull() & F.col("obj_eid").isNotNull())
+        .select(F.col("subj_eid").alias("src"), F.col("obj_eid").alias("dst"))
+    )
+
+
+@_q("kg_entity_degrees_x", degrees_oracle_sql(240))
+def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree per linked entity — the cheap importance signal and
+    the skew probe (head entities by in-degree are the keys the link join
+    salts)."""
+    from darkbo_spark.operators.graph import degree_centrality
+
+    return degree_centrality(_twin_entity_edges(spark, sf_dir)).select(
+        "node",
+        F.col("out_deg").cast("bigint").alias("out_deg"),
+        F.col("in_deg").cast("bigint").alias("in_deg"),
+    )
+
+
+@_q("kg_entity_pagerank_x", pagerank_oracle_sql(240, iters=5, damping=0.85))
+def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the linked entity graph (iterative
+    DataFrame joins, one shuffle per round, DECIMAL-exact contribution
+    sums) — the full chain pipeline→graph→rank is one driver hash."""
+    from darkbo_spark.operators.graph import pagerank
+
+    return pagerank(_twin_entity_edges(spark, sf_dir), damping=0.85, iters=5)

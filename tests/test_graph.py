@@ -1,0 +1,64 @@
+"""Graph analytics (operators/graph.py): PageRank and degree centrality
+as iterative DataFrame joins, checked against hand-computed values on a
+known graph and structural invariants."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from darkbo_spark.operators.graph import degree_centrality, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+
+
+def test_degree_centrality_counts(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")])
+    got = {r.node: (r.out_deg, r.in_deg) for r in degree_centrality(e).collect()}
+    # duplicate (a,b) collapses: distinct edge set
+    assert got == {"a": (2, 1), "b": (1, 1), "c": (1, 2)}
+
+
+def _reference_pagerank(pairs, damping, iters):
+    edges = sorted(set(pairs))
+    nodes = sorted({x for p in edges for x in p})
+    n = len(nodes)
+    outdeg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = {u: 0.0 for u in nodes}
+        for u, v in edges:
+            contrib[v] += round(r[u] / outdeg[u], 12)
+        r = {u: round(base + damping * round(contrib[u], 12), 12) for u in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_power_method(spark):
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c"), ("c", "d"),
+    ]
+    got = {r.node: r.rank for r in pagerank(_edges(spark, pairs), iters=5).collect()}
+    want = _reference_pagerank(pairs, 0.85, 5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+    # sink c (highest in-degree) outranks everything
+    assert got["c"] == max(got.values())
+
+
+def test_pagerank_mass_invariants(spark):
+    # a cycle has no dangling mass: total rank stays ~1
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = pagerank(_edges(spark, pairs), iters=8).collect()
+    total = sum(r.rank for r in got)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    # symmetric cycle → equal ranks
+    ranks = {r.rank for r in got}
+    assert len(ranks) == 1
+
+
+def test_pagerank_empty_graph(spark):
+    e = _edges(spark, [("a", "a")]).filter(F.col("src") != F.col("src"))
+    assert pagerank(e, iters=3).count() == 0
