@@ -79,10 +79,10 @@ _DRIVER_WINDOW = [
     "parsed_search_incremental_x",
     "kg_entity_degrees_x",
     "kg_entity_pagerank_x",
+    "kg_two_hop_neighbors_x",
     # -- last driver row is from round 1/2 (rotated out of the r03 window) --
     "kg_raw_triples",
     "kg_linked_entities",
-    "fuzzy_link_candidates",
     "clean_text_parity",
     "content_ids",
     "route_queries",

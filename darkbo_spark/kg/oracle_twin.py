@@ -546,3 +546,20 @@ def pagerank_oracle_sql(
 SELECT node, rank FROM r{iters}
 ORDER BY node
 """
+
+
+def two_hop_oracle_sql(id_limit: int = 240) -> str:
+    """Distinct 2-hop out-neighborhood size per entity (neighbors-of-
+    neighbors excluding self and direct neighbors) — the KG traversal a
+    RAG consumer runs to pull an entity's context subgraph."""
+    return f"""{_linked_edges_ctes(id_limit)},
+two_hop AS (
+  SELECT DISTINCT a.src AS node, b.dst AS nbr2
+  FROM e a JOIN e b ON b.src = a.dst
+  WHERE b.dst <> a.src
+    AND NOT EXISTS (SELECT 1 FROM e d WHERE d.src = a.src AND d.dst = b.dst)
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+FROM two_hop GROUP BY node
+ORDER BY node
+"""

@@ -289,3 +289,29 @@ def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.graph import pagerank
 
     return pagerank(_twin_entity_edges(spark, sf_dir), damping=0.85, iters=5)
+
+
+from darkbo_spark.kg.oracle_twin import two_hop_oracle_sql  # noqa: E402
+
+
+@_q("kg_two_hop_neighbors_x", two_hop_oracle_sql(240))
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop out-neighborhood size per entity: one self-join on the edge
+    set + an anti-join dropping direct neighbors and self — the context-
+    subgraph traversal a KG/RAG consumer runs per entity. Scale shape:
+    both joins key on entity ids (shuffle or broadcast by dict size),
+    never a cartesian."""
+    e = _twin_entity_edges(spark, sf_dir).distinct()
+    a, b = e.alias("a"), e.alias("b")
+    hop2 = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("node"), F.col("b.dst").alias("nbr2"))
+        .distinct()
+    )
+    direct = e.select(F.col("src").alias("node"), F.col("dst").alias("nbr2"))
+    return (
+        hop2.join(direct, ["node", "nbr2"], "left_anti")
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_two_hop"))
+    )
