@@ -48,9 +48,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Scan + filter + aggregate (S1/P6/A3): TPC-H Q1-shaped pricing summary
-
-# ---------------------------------------------------------------------------
 # Dense retrieval (J3): exact cosine top-k vs the vec_id=0 query vector
 # ---------------------------------------------------------------------------
 
