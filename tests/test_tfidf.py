@@ -91,3 +91,39 @@ def test_incremental_tf_index_equals_full_rebuild(spark):
         .collect()
     }
     assert w_inc == w_full and len(w_inc) > 0
+
+
+def test_incremental_merge_property_fuzz(spark):
+    """Hypothesis fuzz: for random corpora and random overlapping deltas,
+    merge_tf_delta(initial, delta) must reproduce build_tf_index over the
+    final corpus exactly — rows and stats."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from darkbo_spark.operators.tfidf import build_tf_index, merge_tf_delta
+
+    word = st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"])
+    text = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        initial=st.dictionaries(st.integers(0, 9), text, min_size=1, max_size=6),
+        delta=st.dictionaries(st.integers(0, 9), text, min_size=1, max_size=4),
+    )
+    def check(initial, delta):
+        def df(d):
+            return spark.createDataFrame(
+                pd.DataFrame(sorted(d.items()), columns=["doc_id", "text"])
+            )
+
+        tf0, st0 = build_tf_index(df(initial))
+        tf1, st1 = merge_tf_delta(tf0, st0, df(delta))
+        final = dict(initial)
+        final.update(delta)
+        tf_full, st_full = build_tf_index(df(final))
+        assert {tuple(r) for r in tf1.collect()} == {
+            tuple(r) for r in tf_full.collect()
+        }
+        assert st1.collect() == st_full.collect()
+
+    check()
