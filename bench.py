@@ -57,6 +57,7 @@ HEADLINE = [
     "minhash_lsh_pairs_x",
     "neardup_clusters_x",
     "dedup_keep_best_x",
+    "decontaminate_x",
     "simhash_docs",
     "simhash_neardup_pairs",
     "simhash_neardup_pairs_x",

@@ -80,13 +80,13 @@ _DRIVER_WINDOW = [
     "kg_entity_degrees_x",
     "kg_entity_pagerank_x",
     "kg_two_hop_neighbors_x",
+    "decontaminate_x",
     # -- last driver row is from round 1/2 (rotated out of the r03 window) --
     "kg_raw_triples",
     "kg_linked_entities",
     "clean_text_parity",
     "content_ids",
     "route_queries",
-    "title_derivation",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "region_rollup",

@@ -412,3 +412,35 @@ def dedup_keep_best(
             F.col(score_col).alias("best_score"),
         )
     )
+
+
+def contamination_matches(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+) -> DataFrame:
+    """Test-set DECONTAMINATION (the GPT-3-style n-gram filter): every
+    (training doc, benchmark item) pair sharing at least one n-token
+    shingle, with the count of distinct shared shingles —
+    (doc_id, bench_id, n_shared). Training docs matched here get dropped
+    (or audited) before the corpus ships.
+
+    The join keys on the RAW shingle string, not a hash: a removal
+    decision must not have hash false positives. Scale shape: the
+    benchmark side is small by nature (eval sets) → broadcast; the corpus
+    side is one narrow shingle explode — no shuffle of the corpus, no
+    all-pairs anything. For a huge benchmark, swap the broadcast for a
+    shuffle join on shingle; the operator is otherwise unchanged."""
+    d = shingles(docs, text_col, id_col, n).select("doc_id", "shingle")
+    b = shingles(bench, bench_text_col, bench_id_col, n).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    return (
+        d.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -421,3 +421,67 @@ def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         docs, "text", "doc_id", max_hamming=3, hash_mode="portable", persist=False
     )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (GPT-3-style n-gram filter): the benchmark set
+# is derived from the documents table by a SQL expression (tokens 4..13 of
+# every 25th doc → planted verbatim contamination), so DuckDB replays
+# shingling + overlap join exactly. The join keys on RAW shingle strings —
+# removal decisions tolerate no hash false positives.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8
+_BENCH_FILTER = "doc_id % 25 = 0 AND doc_id < 500"
+
+_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_slice(list_filter(
+           string_split_regex(lower(text), ' +'), x -> x <> ''), 4, 13), ' ') AS btext
+  FROM documents WHERE {_BENCH_FILTER}
+),
+dtoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - {_DECON_N}, 0) + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + {_DECON_N}), ' '))) AS shingle
+  FROM dtoks
+),
+btoks AS (
+  SELECT bench_id, list_filter(string_split_regex(btext, ' +'), x -> x <> '') AS toks
+  FROM bench
+),
+bsh AS (
+  SELECT DISTINCT bench_id,
+         unnest(list_transform(range(0, greatest(len(toks) - {_DECON_N}, 0) + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + {_DECON_N}), ' '))) AS shingle
+  FROM btoks
+)
+SELECT d.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM dsh d JOIN bsh b USING (shingle)
+GROUP BY d.doc_id, b.bench_id
+ORDER BY doc_id, bench_id
+"""
+
+
+@_q("decontaminate_x", _DECON_ORACLE)
+def decontaminate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination driver-oracled: training docs sharing any 8-token
+    shingle with a benchmark item (the benchmark is a SQL-visible slice
+    of the corpus, so every source doc is planted contamination), with
+    distinct-shared-shingle counts hash-verified both engines."""
+    from darkbo_spark.operators.dedup import contamination_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.lower(F.col("text")), " +"), "")
+    bench = docs.filter(F.expr(_BENCH_FILTER)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 4, 10), " ").alias("text"),
+    )
+    return contamination_matches(
+        docs, bench, n=_DECON_N, bench_id_col="bench_id"
+    )

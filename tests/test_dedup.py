@@ -221,3 +221,31 @@ def test_dedup_keep_best_picks_argmax_per_cluster(spark):
         assert n == len(ms)
         want = max(ms, key=lambda d: (d % 7, -d))
         assert kd == want and best == float(want % 7)
+
+
+def test_contamination_matches_planted_and_clean(spark):
+    from darkbo_spark.operators.dedup import contamination_matches
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "totally different words with no overlap at all here now"),
+            # doc 2 contains bench item 100's 8-gram mid-text
+            (2, "prefix words then alpha beta gamma delta epsilon zeta eta theta and more"),
+        ],
+        columns=["doc_id", "text"],
+    ))
+    bench = spark.createDataFrame(pd.DataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),  # 8 tokens = 1 shingle
+            (101, "nothing from this benchmark appears in any training doc x"),
+        ],
+        columns=["bench_id", "text"],
+    ))
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in contamination_matches(docs, bench, n=8).collect()
+    }
+    # docs 0 and 2 both contain bench 100's single 8-gram; doc 1 and bench
+    # 101 match nothing
+    assert got == {(0, 100): 1, (2, 100): 1}
