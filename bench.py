@@ -58,6 +58,7 @@ HEADLINE = [
     "neardup_clusters_x",
     "dedup_keep_best_x",
     "decontaminate_x",
+    "training_mix_sample_x",
     "simhash_docs",
     "simhash_neardup_pairs",
     "simhash_neardup_pairs_x",

@@ -81,12 +81,12 @@ _DRIVER_WINDOW = [
     "kg_entity_pagerank_x",
     "kg_two_hop_neighbors_x",
     "decontaminate_x",
+    "training_mix_sample_x",
     # -- last driver row is from round 1/2 (rotated out of the r03 window) --
     "kg_raw_triples",
     "kg_linked_entities",
     "clean_text_parity",
     "content_ids",
-    "route_queries",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "region_rollup",

@@ -485,3 +485,39 @@ def decontaminate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_matches(
         docs, bench, n=_DECON_N, bench_id_col="bench_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (training-data-mix construction):
+# membership = md5-60(id:salt) % 1e6 < fraction·1e6 — reproducible across
+# runs/partitionings/engines (rand()/sampleBy are partition-layout-
+# dependent), so the SAMPLE ITSELF is driver-hash-verified.
+# ---------------------------------------------------------------------------
+
+_MIX_FRACTIONS = {"en": 0.5, "de": 0.2, "fr": 0.1}
+_MIX_CASE = (
+    "CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 "
+    "WHEN 'fr' THEN 100000 ELSE 50000 END"
+)
+
+_MIX_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS STRING) || ':mix1'), 1, 15)) AS BIGINT)
+      % 1000000 < {_MIX_CASE}
+ORDER BY doc_id
+"""
+
+
+@_q("training_mix_sample_x", _MIX_ORACLE)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mix sampler hash-oracled: per-language fractions (en 50%,
+    de 20%, fr 10%, rest 5%) drawn deterministically by id hash — DuckDB
+    re-derives the EXACT member set, proving reproducibility, not just
+    plausible proportions."""
+    from darkbo_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _MIX_FRACTIONS, salt="mix1", default_fraction=0.05
+    ).select("doc_id", "lang")
