@@ -89,6 +89,14 @@ CHECKS = {
     "embed_link_candidates_x": [
         "ArrowEvalPython", "_bucket", "!CartesianProduct",
     ],
+    # --- decontamination: corpus shingles probe a BROADCAST benchmark —
+    # the corpus is never shuffled and nothing degenerates to a product
+    "decontaminate_x": [
+        "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin",
+    ],
+    # --- deterministic sampling: a pure codegen'd hash-threshold filter —
+    # ZERO exchanges (rand()-free, stateless, partition-layout-invariant)
+    "training_mix_sample_x": ["!Exchange", "!CartesianProduct"],
 }
 
 
