@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_keep_best_x",
     "decontaminate_x",
     "training_mix_sample_x",
+    "shard_pack_x",
     "simhash_docs",
     "simhash_neardup_pairs",
     "simhash_neardup_pairs_x",

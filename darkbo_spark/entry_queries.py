@@ -82,11 +82,11 @@ _DRIVER_WINDOW = [
     "kg_two_hop_neighbors_x",
     "decontaminate_x",
     "training_mix_sample_x",
+    "shard_pack_x",
     # -- last driver row is from round 1/2 (rotated out of the r03 window) --
     "kg_raw_triples",
     "kg_linked_entities",
     "clean_text_parity",
-    "content_ids",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "region_rollup",

@@ -601,3 +601,48 @@ def clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(clean_text_udf(F.col("text"))).alias("clean_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (training-data output step): documents in
+# stable doc_id order packed into ~2000-token shards. The Spark side runs
+# the DISTRIBUTED prefix sum (range partition → per-partition window →
+# broadcast offsets — no SinglePartition exchange, gated in PLANS.md);
+# DuckDB replays the global running sum directly. shard_id uses the
+# exact-multiple division form on both engines.
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 2000
+
+_SHARD_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST({ta.sql_token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, n_tokens, cum_tokens,
+       CAST(((cum_tokens - n_tokens) - (cum_tokens - n_tokens) % {_SHARD_BUDGET})
+            / {_SHARD_BUDGET} AS BIGINT) AS shard_id
+FROM c
+ORDER BY doc_id
+"""
+
+
+@_q("shard_pack_x", _SHARD_ORACLE)
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed prefix-sum shard packing, driver-oracled: every doc's
+    global cumulative token count and shard assignment hash-match a
+    serial DuckDB running sum — while the Spark plan provably avoids the
+    single-partition window funnel."""
+    from darkbo_spark.operators.sharding import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ta.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_shards(docs, budget=_SHARD_BUDGET).select(
+        "doc_id", "n_tokens", "cum_tokens", "shard_id"
+    )

@@ -97,6 +97,10 @@ CHECKS = {
     # --- deterministic sampling: a pure codegen'd hash-threshold filter —
     # ZERO exchanges (rand()-free, stateless, partition-layout-invariant)
     "training_mix_sample_x": ["!Exchange", "!CartesianProduct"],
+    # --- shard packing: distributed prefix sum — per-range window +
+    # broadcast offsets; the corpus must NEVER funnel through the
+    # SinglePartition global-window exchange
+    "shard_pack_x": ["!SinglePartition", "BroadcastHashJoin", "!CartesianProduct"],
 }
 
 
