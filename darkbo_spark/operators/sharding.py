@@ -49,9 +49,16 @@ def pack_shards(
         .orderBy(F.col(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # MATERIALIZE before anything consumes this twice: repartitionByRange
+    # SAMPLES to place its boundaries, so a recomputation can assign rows
+    # to different partitions than the run that measured the totals —
+    # the offsets would then be prefixed against the wrong partitioning
+    # (caught by the sf0.1 driver-oracle hash; sf0.01 was small enough to
+    # resample identically). localCheckpoint pins ONE partitioning for
+    # both the totals collect and the final plan.
     local = ranged.withColumn(
         "_local_cum", F.sum(F.col(weight_col).cast("bigint")).over(w)
-    )
+    ).localCheckpoint(eager=True)
     # one tiny row per partition → driver prefix-sum → broadcast join.
     # (_pid, min order key) also fixes the partition ORDER explicitly
     # instead of trusting partition-id assignment order.
