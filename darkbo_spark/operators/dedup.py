@@ -89,8 +89,12 @@ def shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, hash_mode: str = "fast"
 ) -> DataFrame:
     """Word n-gram shingles as (id, shingle_hash). Native: split → slide via
-    transform over an index sequence — no UDF."""
-    toks = F.split(F.lower(F.col(text_col)), " +")
+    transform over an index sequence — no UDF. Empty boundary tokens from
+    leading/trailing whitespace are removed BEFORE windowing (split(' +')
+    can only produce '' at the ends), matching every SQL twin's
+    list_filter(x <> '') — an unfiltered side would shift shingle windows
+    on whitespace-padded docs and break the cross-engine hash."""
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), " +"), "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
         idx,

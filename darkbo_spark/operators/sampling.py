@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 _M = 1_000_000
 
 
+def _threshold(fraction: float) -> int:
+    """fraction → integer millionths, ROUNDED: int() truncation would put
+    e.g. 0.29 at 289999, one millionth below the documented keep(row)
+    formula (fraction · 1e6)."""
+    return int(round(fraction * _M))
+
+
 def _keep_hash(id_col: Column, salt: str) -> Column:
     from darkbo_spark.operators.dedup import portable_hash60
 
@@ -42,7 +49,7 @@ def deterministic_sample(
     salt: str = "v1",
 ) -> DataFrame:
     """Keep a deterministic ~`fraction` of rows by id hash."""
-    return df.filter(_keep_hash(F.col(id_col), salt) < int(fraction * _M))
+    return df.filter(_keep_hash(F.col(id_col), salt) < _threshold(fraction))
 
 
 def stratified_sample(
@@ -55,7 +62,7 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling — the data-mix sampler. Strata
     absent from `fractions` keep `default_fraction`."""
-    thr = F.lit(int(default_fraction * _M))
+    thr = F.lit(_threshold(default_fraction))
     for k, frac in sorted(fractions.items()):
-        thr = F.when(F.col(stratum_col) == k, F.lit(int(frac * _M))).otherwise(thr)
+        thr = F.when(F.col(stratum_col) == k, F.lit(_threshold(frac))).otherwise(thr)
     return df.filter(_keep_hash(F.col(id_col), salt) < thr)

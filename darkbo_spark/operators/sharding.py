@@ -78,9 +78,17 @@ def pack_shards(
     spark = df.sparkSession
     import pandas as pd
 
-    off_df = F.broadcast(
-        spark.createDataFrame(pd.DataFrame(offs, columns=["_pid", "_off"]))
+    # explicit schema: an EMPTY input yields zero offset rows, and a
+    # schema-less createDataFrame over an all-object empty pandas frame
+    # fails inference (the join below then correctly produces zero rows)
+    pdf = (
+        pd.DataFrame(offs, columns=["_pid", "_off"])
+        if offs
+        else pd.DataFrame(
+            {"_pid": pd.Series(dtype="int64"), "_off": pd.Series(dtype="int64")}
+        )
     )
+    off_df = F.broadcast(spark.createDataFrame(pdf, schema="_pid int, _off bigint"))
     return (
         local.join(off_df, "_pid")
         .withColumn("cum_tokens", (F.col("_off") + F.col("_local_cum")).cast("bigint"))

@@ -191,13 +191,35 @@ def build_tf_index(
     index updates incrementally. Exact parity with the full rebuild
     (build_bm25_postings) is by construction: same integer statistics →
     the same IEEE arithmetic → the same 6dp-rounded weights (driver
-    hash-verified by parsed_search_incremental_x)."""
+    hash-verified by parsed_search_incremental_x).
+
+    n_docs comes from the INPUT docs frame (_corpus_n), exactly like
+    build_bm25_postings — an empty/whitespace-only document contributes no
+    tf rows but still counts toward n_docs and avgdl's denominator.
+    Such docs are carried in the index as one null-token sentinel row
+    (tf=0, dl=0): the index is then a complete doc roster, so
+    merge_tf_delta can account a replacement of an empty doc exactly, and
+    query-time term joins never see the sentinel (no term equals NULL)."""
     tf = _term_freq(docs, text_col, id_col, persist=persist)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    tf_index = tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
+    empty = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(dl, "doc_id", "left_anti")
+        .select(
+            F.lit(None).cast("string").alias("token"),
+            "doc_id",
+            F.lit(0).cast("bigint").alias("tf"),
+            F.lit(0).cast("bigint").alias("dl"),
+        )
+    )
+    tf_index = (
+        tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl").unionByName(empty)
+    )
+    stats = (
+        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"))
+        .crossJoin(F.broadcast(_corpus_n(docs)))
+        .select("n_docs", "sum_dl")
     )
     return tf_index, stats
 

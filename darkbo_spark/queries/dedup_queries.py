@@ -233,7 +233,8 @@ def _minhash_pair_ctes(
         for b in range(bands)
     )
     # corpus = documents prefix + planted near-dups (see _NEARDUP_CORPUS_SQL)
-    return f"""docs AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+    return f"""docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+                     x -> x <> '') AS toks
               FROM {_NEARDUP_CORPUS_SQL} base),
 sh AS (
   SELECT DISTINCT doc_id,

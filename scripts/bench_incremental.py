@@ -45,8 +45,10 @@ def main() -> int:
     )
     from darkbo_spark.queries.retrieval import (
         _PARSED,
+        _POSTINGS_BUCKETS,
         _RANK_TERMS,
         _RAW_QUERY,
+        _tok_bucket_col,
         _tok_bucket_py,
         parsed_search_stored,
     )
@@ -63,9 +65,22 @@ def main() -> int:
 
     # -- 1. bucket pruning A/B over the same WARM stored table --------------
     parsed_search_stored(spark, SF_DIR)  # ensures the table is published
+    from darkbo_spark.operators.tfidf import build_bm25_postings
     from darkbo_spark.queries.common import _stored_table
 
-    table = _stored_table(SF_DIR, "bm25_postings", "documents", None, tag="tok_bucket32")
+    # real builder + the shared bucket-count tag: if the corpus fingerprint
+    # shifted since the warm-up (mtime change, concurrent republish) this
+    # rebuilds instead of crashing on a None builder
+    table = _stored_table(
+        SF_DIR,
+        "bm25_postings",
+        "documents",
+        lambda: build_bm25_postings(docs)
+        .withColumn("tok_bucket", _tok_bucket_col(F.col("token")))
+        .repartition("tok_bucket"),
+        partition_by=["tok_bucket"],
+        tag=f"tok_bucket{_POSTINGS_BUCKETS}",
+    )
     need = sorted({_tok_bucket_py(t) for t in set(_PARSED.terms) | set(_RANK_TERMS)})
 
     def serve(pruned: bool):

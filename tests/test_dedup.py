@@ -223,6 +223,23 @@ def test_dedup_keep_best_picks_argmax_per_cluster(spark):
         assert kd == want and best == float(want % 7)
 
 
+def test_shingles_ignore_boundary_whitespace(spark):
+    """split(' +') keeps '' at string boundaries; shingles must drop them
+    BEFORE windowing or whitespace-padded docs get shifted windows (and
+    diverge from every SQL twin's list_filter)."""
+    from darkbo_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [(0, "alpha beta gamma delta"), (1, "  alpha beta gamma delta  ")],
+        columns=["doc_id", "text"],
+    ))
+    out = shingles(df, "text", "doc_id", n=3)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r.doc_id, set()).add(r.shingle)
+    assert per[0] == per[1] == {"alpha beta gamma", "beta gamma delta"}
+
+
 def test_contamination_matches_planted_and_clean(spark):
     from darkbo_spark.operators.dedup import contamination_matches
 

@@ -40,6 +40,17 @@ def test_salt_redraws_independently(spark):
     assert 0.3 < overlap < 0.7  # ~independent draws
 
 
+def test_threshold_rounds_instead_of_truncating():
+    from darkbo_spark.operators.sampling import _threshold
+
+    # 0.29 is not exactly representable: int() would truncate to 289999,
+    # one millionth under the documented keep(row) formula
+    assert _threshold(0.29) == 290000
+    assert _threshold(0.1) == 100000
+    assert _threshold(0.0) == 0
+    assert _threshold(1.0) == 1_000_000
+
+
 def test_stratified_fractions_per_stratum(spark):
     d = _docs(spark)
     out = stratified_sample(

@@ -47,6 +47,13 @@ def test_shards_are_contiguous_and_budget_sized(spark):
             assert tot >= 700 - 90  # a doc starts in the shard its first token lands in
 
 
+def test_empty_input_yields_empty_output(spark):
+    df = _docs(spark).filter(F.col("doc_id") < 0)  # empty, schema intact
+    out = pack_shards(df, budget=1000)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_tokens", "cum_tokens", "shard_id"}
+
+
 def test_plan_has_no_single_partition_window(spark):
     df = pack_shards(_docs(spark, parts=4), budget=1000, num_range_partitions=8)
     buf = io.StringIO()

@@ -93,6 +93,55 @@ def test_incremental_tf_index_equals_full_rebuild(spark):
     assert w_inc == w_full and len(w_inc) > 0
 
 
+def test_tf_index_counts_empty_docs(spark):
+    """An empty/whitespace-only document has no postings but must still
+    count toward n_docs (and avgdl's denominator) exactly like
+    build_bm25_postings' _corpus_n — and a delta replacing an empty doc
+    with text (or text with empty) must keep incremental ≡ full rebuild."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.operators.tfidf import (
+        bm25_weights_for_terms,
+        build_bm25_postings,
+        build_tf_index,
+        merge_tf_delta,
+    )
+
+    rows = [(0, "alpha beta"), (1, ""), (2, "   "), (3, "beta gamma beta")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    tf, st = build_tf_index(docs)
+    stats = st.collect()[0]
+    assert stats.n_docs == 4 and stats.sum_dl == 5
+    # empty docs appear as null-token sentinel rows (complete doc roster)
+    sentinels = {r.doc_id for r in tf.filter(F.col("token").isNull()).collect()}
+    assert sentinels == {1, 2}
+
+    # query-time weights must equal the full build (whose avgdl also
+    # divides by ALL docs) — the empty docs shift avgdl for every weight
+    terms = ["beta", "alpha"]
+    w_inc = {(r.token, r.doc_id): r.w for r in bm25_weights_for_terms(tf, st, terms).collect()}
+    w_full = {
+        (r.token, r.doc_id): r.w
+        for r in build_bm25_postings(docs, persist=False)
+        .filter(F.col("token").isin(terms))
+        .collect()
+    }
+    assert w_inc == w_full and len(w_inc) > 0
+
+    # replace empty→text and text→empty in one delta; must equal rebuild
+    delta = spark.createDataFrame(
+        pd.DataFrame([(1, "delta epsilon"), (3, "")], columns=["doc_id", "text"])
+    )
+    tf1, st1 = merge_tf_delta(tf, st, delta)
+    final = [(0, "alpha beta"), (1, "delta epsilon"), (2, "   "), (3, "")]
+    tf_full, st_full = build_tf_index(
+        spark.createDataFrame(pd.DataFrame(final, columns=["doc_id", "text"]))
+    )
+    assert {tuple(r) for r in tf1.collect()} == {tuple(r) for r in tf_full.collect()}
+    assert st1.collect() == st_full.collect()
+
+
 def test_incremental_merge_property_fuzz(spark):
     """Hypothesis fuzz: for random corpora and random overlapping deltas,
     merge_tf_delta(initial, delta) must reproduce build_tf_index over the
@@ -103,7 +152,9 @@ def test_incremental_merge_property_fuzz(spark):
     from darkbo_spark.operators.tfidf import build_tf_index, merge_tf_delta
 
     word = st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"])
-    text = st.lists(word, min_size=1, max_size=6).map(" ".join)
+    # min_size=0 → empty docs appear in the fuzz (the n_docs-from-dl-rows
+    # bug class this fuzz previously could not reach)
+    text = st.lists(word, min_size=0, max_size=6).map(" ".join)
 
     @settings(max_examples=8, deadline=None)
     @given(
