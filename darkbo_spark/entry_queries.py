@@ -27,6 +27,7 @@ import darkbo_spark.queries.star  # noqa: E402,F401
 import darkbo_spark.queries.retrieval  # noqa: E402,F401
 import darkbo_spark.queries.textops  # noqa: E402,F401
 import darkbo_spark.queries.dedup_queries  # noqa: E402,F401
+import darkbo_spark.queries.span_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401

@@ -1,0 +1,159 @@
+"""Cross-document duplicate-SPAN dedup — substring-level deduplication,
+the training-data operator that removes repeated token RANGES (license
+headers, boilerplate navigation, templated paragraphs) that document-level
+dedup (exact/MinHash/SimHash, operators/dedup.py) cannot see: two pages
+with different bodies but an identical 40-token header are not document
+near-dups, yet the header should appear in the corpus once, not 10^8 times.
+
+Algorithm (the scalable shape of Lee et al.'s "Deduplicating Training Data
+Makes Language Models Better" substring dedup, re-expressed relationally):
+
+1. `window_fingerprints` — every n-token window of every document as
+   (doc_id, pos, fp), fp = hash of the window's token string. The hash is
+   the dedup family's shared primitive (`operators.dedup._token_hash`):
+   xxhash64 in production, md5-60 in portable mode so DuckDB replays the
+   pipeline bit-for-bit. Hashing the window STRING keeps the full 60/64-bit
+   space (a Rabin-Karp fold mod 2^31 — functions/text_analysis.py:90 —
+   would birthday-collide at corpus scale: 10^12 windows over a 2^31 space);
+   the fold stays the right tool for streaming/incremental fingerprint
+   maintenance, this operator needs the wide keyspace.
+2. `duplicate_spans` — group windows BY FINGERPRINT across documents (one
+   shuffle of (doc_id, pos, fp) on fp — never an all-pairs join); a window
+   is duplicate when its fingerprint occurs in >= min_docs distinct docs.
+   Fingerprints in more than `max_docs_per_fp` docs can be dropped — the
+   degenerate-key guard of `_capped_bucket_pairs`: a pathological window
+   ("aaaaaaaa…" filler in half the corpus) would otherwise concentrate one
+   reduce key; note the CAP drops it from marking, the tradeoff the MinHash
+   path makes too. With keep_first=True the globally-first occurrence
+   (lexicographic min (doc_id, pos) — an order-free MIN-of-struct aggregate,
+   no window function over the skewed fp key) is exempt, so exactly one
+   copy of every duplicated window survives a trim. Adjacent/overlapping
+   duplicate windows then merge into MAXIMAL spans per document (window
+   partitioned by doc_id — per-doc state only).
+3. `trim_duplicate_spans` — remove every token covered by a span and
+   rejoin; with keep_first=True spans this is "keep one copy corpus-wide".
+
+Scale notes: stage 2's fingerprint groupBy is map-side-combinable and the
+only corpus-wide shuffle; span merge shuffles (doc_id, pos) pairs of
+DUPLICATE windows only (tiny vs the corpus); trim is a per-doc join on
+doc_id. No step is quadratic in anything. Works on the lowercased
+whitespace token stream (the dedup family's shared tokenization); a
+byte-faithful production trim would carry the windows' byte offsets
+through the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from darkbo_spark.operators.dedup import _token_hash
+
+
+def _toks(text_col: str) -> F.Column:
+    # the dedup family's shared tokenization: lowercase, split on space
+    # runs, boundary empties removed (matches every SQL twin's list_filter)
+    return F.array_remove(F.split(F.lower(F.col(text_col)), " +"), "")
+
+
+def window_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """(doc_id, pos, fp): the hash of every n-token window, with its
+    0-based token position. Documents shorter than n tokens have no
+    windows. Native slide (transform + slice + concat_ws) → posexplode;
+    the shuffle payload downstream is the 8-byte fp, not the string."""
+    base = df.select(F.col(id_col).alias("doc_id"), _toks(text_col).alias("_t")).filter(
+        F.size("_t") >= n
+    )
+    fps = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: _token_hash(F.concat_ws(" ", F.slice("_t", i + 1, n)), hash_mode),
+    )
+    return base.select("doc_id", F.posexplode(fps).alias("pos", "fp"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    max_docs_per_fp: int | None = None,
+    keep_first: bool = False,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal duplicate token
+    ranges [span_start, span_end) per document — every merged run of
+    n-token windows whose fingerprint appears in >= min_docs distinct
+    documents. keep_first=True exempts the corpus-wide first occurrence of
+    each fingerprint (min (doc_id, pos)), the retention rule a trim needs
+    to keep exactly one copy of duplicated content."""
+    wf = window_fingerprints(df, text_col, id_col, n, hash_mode)
+    fam = wf.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("_nd"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+            "_first"
+        ),
+    )
+    cond = F.col("_nd") >= min_docs
+    if max_docs_per_fp is not None:
+        cond = cond & (F.col("_nd") <= max_docs_per_fp)
+    marked = wf.join(fam.filter(cond), "fp")
+    if keep_first:
+        marked = marked.filter(
+            ~((F.col("doc_id") == F.col("_first.d")) & (F.col("pos") == F.col("_first.p")))
+        )
+    # merge overlapping/adjacent windows: two duplicate windows at p < q
+    # cover a contiguous token range iff q <= p + n
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        marked.select("doc_id", "pos")
+        # NULL lag (first row) compares NULL → otherwise-branch opens a span
+        .withColumn(
+            "_new", F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1)
+        )
+        .withColumn("_grp", F.sum("_new").over(wc))
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text): each document's token stream with every span-covered
+    token removed, rejoined with single spaces (documents without spans
+    pass through space-normalized). With keep_first=True spans, duplicated
+    content survives in exactly its first-occurrence document."""
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), _toks(text_col).alias("_t")).join(
+        sp, "doc_id", "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda t, i: ~F.exists(
+            spans_arr, lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+        ),
+    )
+    return base.select("doc_id", F.array_join(kept, " ").alias("text"))
