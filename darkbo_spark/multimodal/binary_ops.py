@@ -565,6 +565,159 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 resize_stub = resize_media
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hashes (aHash / dHash) over the REAL BMP/PNG decoders —
+# image near-duplicate detection as a first-class member of the dedup
+# family: hashes → banded candidate pairs → transitive clusters via the
+# same neardup_clusters machinery text dedup uses (operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def _gray_grid(payload: bytes, gw: int, gh: int) -> list[int]:
+    """gw×gh grayscale grid (row-major, VISUAL top-down orientation) via
+    nearest-neighbor sampling of the decoded pixels: lum = (b+g+r)//3.
+    BMP rows are stored bottom-up → visual row y reads storage row h-1-y
+    (PNG scanlines are already top-down), so the same image in either
+    container grids identically. Undecodable formats raise at the seam."""
+    fmt = _sniff(payload)
+    if fmt == "bmp":
+        w, h, off = _bmp_dims(payload)
+        stride = 3 * w + ((-3 * w) % 4)
+
+        def pix(sx: int, sy: int) -> int:
+            i = off + (h - 1 - sy) * stride + 3 * sx
+            return (payload[i] + payload[i + 1] + payload[i + 2]) // 3
+
+    elif fmt == "png":
+        w, h, ch, rows = _png_scanlines(payload)
+
+        def pix(sx: int, sy: int) -> int:
+            line = rows[sy]
+            i = sx * ch
+            if ch == 1:
+                return line[i]
+            return (line[i] + line[i + 1] + line[i + 2]) // 3
+
+    else:
+        raise NotImplementedError(
+            "perceptual hashing needs a decodable image payload (BMP/PNG here; "
+            "JPEG needs Pillow)"
+        )
+    out = []
+    for y in range(gh):
+        sy = min(y * h // gh, h - 1)
+        for x in range(gw):
+            sx = min(x * w // gw, w - 1)
+            out.append(pix(sx, sy))
+    return out
+
+
+def _ahash_hex(g: list[int]) -> str:
+    """Average hash over an 8×8 grid: bit = lum > mean, packed per ROW into
+    a hex byte (bit x = 2^x) — 16 lowercase hex chars. The mean compare is
+    exact integer math (lum·64 > Σ) so SQL replays it bit-for-bit."""
+    s = sum(g)
+    return "".join(
+        "%02x" % sum((1 << x) for x in range(8) if g[y * 8 + x] * 64 > s)
+        for y in range(8)
+    )
+
+
+def _dhash_hex(g9: list[int]) -> str:
+    """Difference hash over a 9×8 grid: bit = right neighbor brighter —
+    robust to global brightness/contrast shifts; 16 lowercase hex chars."""
+    return "".join(
+        "%02x" % sum((1 << x) for x in range(8) if g9[y * 9 + x + 1] > g9[y * 9 + x])
+        for y in range(8)
+    )
+
+
+IMAGE_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", StringType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def image_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, ahash, dhash) — Arrow-batched decode + perceptual hash.
+    One decode serves both hashes (the 8×8 and 9×8 grids)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                p = bytes(r.payload)
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "ahash": _ahash_hex(_gray_grid(p, 8, 8)),
+                        "dhash": _dhash_hex(_gray_grid(p, 9, 8)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_HASH_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=IMAGE_HASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    max_bucket: int = 500,
+    persist: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, hamming): image pairs within `max_hamming` bits on the
+    chosen perceptual hash. aHash is the default: dHash (adjacent-pixel
+    gradient sign) degenerates to near-all-ones on smoothly-varying
+    images — monotone luminance makes every comparison true — while the
+    mean-threshold aHash keeps discriminating. Same pigeonhole-banding
+    scale shape as SimHash
+    (operators/dedup.py): split the 16 hex chars into max_hamming+1
+    disjoint bands — any pair within k bits agrees exactly on ≥1 band —
+    bucket-join on (band, band_chars), then verify true hamming by XOR of
+    16-bit chunks (F.conv keeps every chunk ≤ 0xffff, no sign games).
+    Feed the pairs into operators.dedup.neardup_clusters(pairs=...) for
+    transitive image families."""
+    from darkbo_spark.operators.dedup import _capped_bucket_pairs
+
+    n_bands = max_hamming + 1
+    assert 16 % n_bands == 0, (
+        f"max_hamming+1 must divide the 16 hex chars; got {max_hamming}"
+    )
+    width = 16 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring(F.col(hash_col), i * width + 1, width).alias("bits"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col("media_id").alias("doc_id"), F.col(hash_col), F.explode(bands).alias("bb")
+    ).select(
+        "doc_id", F.col(hash_col), F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
+    cand = _capped_bucket_pairs(banded, ["band", "bits"], [hash_col], max_bucket, persist)
+
+    def _chunk(col: str, i: int) -> F.Column:
+        return F.conv(F.substring(F.col(col), i * 4 + 1, 4), 16, 10).cast("bigint")
+
+    ham = sum(
+        F.bit_count(_chunk(f"{hash_col}_a", i).bitwiseXOR(_chunk(f"{hash_col}_b", i)))
+        for i in range(4)
+    )
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def _resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbor resample of a 24-bit BMP, pure bytes math."""
     w, h, off = _bmp_dims(payload)
