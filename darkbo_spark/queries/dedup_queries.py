@@ -510,6 +510,80 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier (functions/quality_model.py): logistic
+# regression over the oracled quality signals, weights trained at import
+# time by a fixed-order deterministic procedure and inlined as repr()
+# literals into BOTH engines — the logit is bit-identical, the label
+# thresholds the unrounded logit. Planted junk rows (keyword stuffing,
+# punctuation noise, too-short fragments — SQL-expressible transforms)
+# guarantee both classes appear at every sf.
+# ---------------------------------------------------------------------------
+
+_QCLS_CORPUS_SQL = """
+(SELECT doc_id, text FROM documents WHERE doc_id < 400
+ UNION ALL
+ SELECT doc_id + 200000, repeat('buy now ', 30) FROM documents WHERE doc_id < 10
+ UNION ALL
+ SELECT doc_id + 300000, repeat('!!! ??? ', 12) FROM documents WHERE doc_id < 10
+ UNION ALL
+ SELECT doc_id + 400000, 'ok' FROM documents WHERE doc_id < 10)
+"""
+
+
+def _qcls_oracle() -> str:
+    from darkbo_spark.functions.quality_model import (
+        sql_quality_label,
+        sql_quality_logit,
+    )
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM {_QCLS_CORPUS_SQL} c)
+SELECT doc_id, round({sql_quality_logit('text')}, 6) AS quality_logit,
+       CAST({sql_quality_label('text')} AS INTEGER) AS label
+FROM corpus ORDER BY doc_id
+"""
+
+
+@_q("quality_classifier_x", _qcls_oracle())
+def quality_classifier_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED quality filter driver-oracled: deterministic logistic
+    weights over 6dp-rounded cross-engine features, logit folded in
+    identical order in both engines, label = unrounded logit > 0. The
+    planted junk rows must classify 0 and ordinary prose-like rows are
+    scored by the same model a production filter would broadcast."""
+    from darkbo_spark.functions.quality_model import quality_label, quality_logit
+
+    docs = _t(spark, sf_dir, "documents")
+    base10 = docs.filter(F.col("doc_id") < 10)
+    corpus = (
+        docs.filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+        .unionByName(
+            base10.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.expr("repeat('buy now ', 30)").alias("text"),
+            )
+        )
+        .unionByName(
+            base10.select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.expr("repeat('!!! ??? ', 12)").alias("text"),
+            )
+        )
+        .unionByName(
+            base10.select(
+                (F.col("doc_id") + 400000).alias("doc_id"), F.lit("ok").alias("text")
+            )
+        )
+    )
+    return corpus.select(
+        "doc_id",
+        F.round(quality_logit(F.col("text")), 6).alias("quality_logit"),
+        quality_label(F.col("text")).cast("int").alias("label"),
+    )
+
+
 @_q("training_mix_sample_x", _MIX_ORACLE)
 def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-mix sampler hash-oracled: per-language fractions (en 50%,
