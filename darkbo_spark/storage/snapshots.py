@@ -192,11 +192,37 @@ class BuildLock:
     """I2 — single-writer build lock: atomic O_EXCL lock file carrying the
     owner id, with stale-lock takeover (reference behavior:
     api/index_versioning.py:91-116). Iceberg's optimistic commit retry makes
-    this unnecessary in production; kept for parity and for local runs."""
+    this unnecessary in production; kept for parity and for local runs.
+
+    Crashed-holder recovery: the lock file records (pid, host); a contender
+    on the SAME host whose holder pid is dead takes the lock over
+    immediately via the same atomic-rename path as mtime staleness — a
+    publisher SIGKILLed mid-write never strands waiters until the mtime
+    timeout. Cross-host (pid unverifiable) falls back to mtime staleness."""
 
     def __init__(self, base_dir: str, name: str, stale_after_s: float = 3600.0):
         self.path = os.path.join(base_dir, f".{name}.lock")
         self.stale_after_s = stale_after_s
+
+    def _holder_dead(self) -> bool:
+        """True iff the lock names a same-host pid that no longer exists."""
+        import socket
+
+        try:
+            with open(self.path) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False  # vanished or mid-write — not provably dead
+        pid, host = meta.get("pid"), meta.get("host")
+        if not isinstance(pid, int) or host != socket.gethostname():
+            return False
+        try:
+            os.kill(pid, 0)
+            return False  # alive
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive, other uid
 
     def acquire(self, owner: str) -> bool:
         try:
@@ -206,7 +232,7 @@ class BuildLock:
                 stale = time.time() - os.path.getmtime(self.path) > self.stale_after_s
             except FileNotFoundError:
                 return self.acquire(owner)  # holder released between checks
-            if stale:
+            if stale or self._holder_dead():
                 # ATOMIC takeover: rename the stale lock aside — exactly one
                 # contender wins the rename; remove-then-recreate would let a
                 # second contender delete the winner's fresh lock and both
@@ -219,8 +245,14 @@ class BuildLock:
                 os.remove(grave)
                 return self.acquire(owner)
             return False
+        import socket
+
         with os.fdopen(fd, "w") as f:
-            json.dump({"owner": owner, "ts": time.time()}, f)
+            json.dump(
+                {"owner": owner, "ts": time.time(), "pid": os.getpid(),
+                 "host": socket.gethostname()},
+                f,
+            )
         return True
 
     def heartbeat(self, owner: str) -> None:

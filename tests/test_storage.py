@@ -84,3 +84,73 @@ def test_time_travel_read_version(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         t.read_version(spark, 9)
+
+
+def test_dead_holder_takeover(tmp_path):
+    """A publisher killed mid-build (lock file present, mtime FRESH, pid
+    dead) must not strand waiters until the mtime timeout: same-host
+    pid-liveness takes the lock over immediately."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from darkbo_spark.storage.snapshots import BuildLock\n"
+        "lock = BuildLock(%r, 'crash')\n"
+        "assert lock.acquire('doomed-publisher')\n"
+        "import os; os._exit(0)  # dies without release\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), str(tmp_path))
+    subprocess.run([sys.executable, "-c", code], check=True)
+    lock = BuildLock(str(tmp_path), "crash")  # default 3600 s mtime staleness
+    assert os.path.exists(lock.path)  # crash left the lock behind
+    assert lock.acquire("waiter")  # recovered via pid-liveness, not mtime
+    assert lock.owner() == "waiter"
+    lock.release("waiter")
+
+
+def test_live_holder_not_stolen(tmp_path):
+    """pid-liveness must not steal from a HEALTHY same-process holder."""
+    lock = BuildLock(str(tmp_path), "alive")
+    assert lock.acquire("holder")
+    assert not lock.acquire("thief")  # holder pid (this process) is alive
+    assert lock.owner() == "holder"
+    lock.release("holder")
+
+
+def test_stored_table_recovers_from_crashed_publisher(spark, tmp_path, monkeypatch):
+    """_stored_table's wait loop recovers promptly when the lock holder is
+    a dead process — no 120 s timeout path for a crashed publisher."""
+    import json as _json
+    import socket
+    import subprocess
+    import sys
+    import time as _time
+
+    from darkbo_spark.queries.common import _stored_table
+
+    # corpus parquet the fingerprint hashes
+    sf_dir = str(tmp_path / "sf")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    # point the per-user index base at the test tmpdir
+    import tempfile as _tf
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path / "idx"))
+    base = os.path.join(str(tmp_path / "idx"), f"darkbo_spark_indexes_u{os.getuid()}")
+    os.makedirs(base, exist_ok=True)
+    # a real (now-dead) pid holds the lock with a fresh mtime
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True, text=True, check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    with open(os.path.join(base, ".crashtbl.lock"), "w") as f:
+        _json.dump({"owner": "crashed", "ts": _time.time(), "pid": dead_pid,
+                    "host": socket.gethostname()}, f)
+    t0 = _time.time()
+    table = _stored_table(sf_dir, "crashtbl", "documents", lambda: docs)
+    wall = _time.time() - t0
+    assert table.read(spark).count() == 2  # waiter took over and published
+    assert wall < 30.0, f"crashed-publisher recovery took {wall:.1f}s"
