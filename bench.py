@@ -36,13 +36,11 @@ HEADLINE = [
     "tfidf_topk",
     "bm25_topk",
     "parsed_search_topk",
-    "parsed_search_stored",
     "parsed_search_incremental_x",
     "dense_topk",
     "ann_multiprobe_topk",
     "ann_ivf_topk",
     "ann_ivf_full_probe",
-    "ann_ivf_stored",
     "ann_multiprobe_exact",
     "cosine_neardup_pairs",
     "bpe_token_counts",
@@ -144,6 +142,29 @@ def main() -> int:
         # full materialization without driver-transfer bias
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # stored-index paths, split into cold BUILD (drop the published table
+    # first, so the one timed run provably publishes) and warm SERVE
+    # (median of 3 on the hot index) — "materialize once, serve many" is
+    # the design claim, so the two costs are reported separately instead
+    # of fused into one misleading number.
+    from darkbo_spark.queries.common import drop_stored_table
+
+    for name, stored_name in (
+        ("parsed_search_stored", "bm25_postings"),
+        ("ann_ivf_stored", "ivf_index"),
+    ):
+        fn = qs[name]
+        drop_stored_table(stored_name)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[f"{name}_build"] = round(time.time() - t0, 3)
+        serves = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            serves.append(time.time() - t0)
+        timings[f"{name}_serve"] = round(sorted(serves)[1], 3)
 
     # KG pipeline end-to-end (fresh dir -> no fingerprint skip)
     from darkbo_spark.kg.pipeline import run_pipeline

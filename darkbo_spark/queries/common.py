@@ -63,6 +63,30 @@ def _corpus_fp(sf_dir: str, table: str) -> str:
     return hashlib.md5(f"{sf_dir}|{table}|{parts}".encode()).hexdigest()
 
 
+def _stored_base() -> str:
+    """Per-user stored-index base (no cross-user /tmp collisions)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"darkbo_spark_indexes_u{os.getuid()}"
+    )
+
+
+def drop_stored_table(name: str) -> None:
+    """Remove a published stored index and its lock — the bench harness
+    uses this to time a provably COLD build separately from warm serves."""
+    import os
+    import shutil
+
+    base = _stored_base()
+    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    try:
+        os.remove(os.path.join(base, f".{name}.lock"))
+    except FileNotFoundError:
+        pass
+
+
 def _stored_table(
     sf_dir: str, name: str, source_table: str, build, partition_by=None, tag: str = ""
 ):
@@ -73,14 +97,11 @@ def _stored_table(
     v{seq} dir (the exact hazard SnapshotTable's own docs call out). A
     loser WAITS for the winner and then finds the fingerprint fresh."""
     import os
-    import tempfile
     import time
 
     from darkbo_spark.storage.snapshots import BuildLock, SnapshotTable
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"darkbo_spark_indexes_u{os.getuid()}"
-    )
+    base = _stored_base()
     table = SnapshotTable(base, name)
     # `tag` versions the STORED LAYOUT (schema/partitioning changes): a
     # layout change must republish even over an unchanged corpus, or a
