@@ -59,9 +59,26 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 5,
+    tol: float | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(node, rank) after `iters` power-method rounds (see module doc).
-    Edges are deduplicated; self-loops count like any other edge."""
+    Edges are deduplicated; self-loops count like any other edge.
+
+    Scale hygiene: intermediate rank vectors are persist(MEMORY_AND_DISK)
+    — lazy, no driver coordination — and lineage is truncated by an eager
+    localCheckpoint only every `checkpoint_every` rounds (a per-round
+    eager checkpoint makes the driver a once-per-iteration barrier; at a
+    billion-node graph that coordination dominates). Persisted rounds
+    older than the last lineage cut are unpersisted at the cut.
+
+    `tol`: optional L1 convergence — stop early when Σ|rₖ₊₁−rₖ| ≤ tol
+    (costs one small aggregate per round over the node-sized vector).
+    The oracled fixed-iteration mode (tol=None) computes values
+    bit-identically to the pre-hygiene form: persist/checkpoint cadence
+    never changes the 12dp-DECIMAL arithmetic, only when it materializes."""
+    from pyspark import StorageLevel
+
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -81,7 +98,9 @@ def pagerank(
     )
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    cached: list[DataFrame] = []
+    for it in range(iters):
+        prev = ranks
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg.withColumnRenamed("node", "src"), "src")
@@ -106,7 +125,26 @@ def pagerank(
                     12,
                 ).alias("rank"),
             )
-            # truncate lineage: iteration k must not replay rounds 0..k-1
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        cached.append(ranks)
+        converged = False
+        if tol is not None:
+            # one node-sized aggregate; also materializes this round's cache
+            delta = (
+                ranks.withColumnRenamed("rank", "r1")
+                .join(prev.withColumnRenamed("rank", "r0"), "node")
+                .agg(F.sum(F.abs(F.col("r1") - F.col("r0"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            converged = delta is not None and delta <= tol
+        if converged or it == iters - 1 or (it + 1) % checkpoint_every == 0:
+            # lineage cut: everything persisted before this point is now
+            # unreachable from the checkpointed plan — release it
+            ranks = ranks.localCheckpoint(eager=True)
+            for f in cached:
+                f.unpersist()
+            cached = []
+        if converged:
+            break
     return ranks

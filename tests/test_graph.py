@@ -62,3 +62,29 @@ def test_pagerank_mass_invariants(spark):
 def test_pagerank_empty_graph(spark):
     e = _edges(spark, [("a", "a")]).filter(F.col("src") != F.col("src"))
     assert pagerank(e, iters=3).count() == 0
+
+
+def test_pagerank_convergence_mode(spark):
+    """tol mode stops early once Σ|Δ| ≤ tol and matches the fixed-iteration
+    values at the round it stops (same per-round arithmetic)."""
+    pairs = [(i, (i * 7 + 1) % 40) for i in range(120)]
+    loose = {r.node: r.rank for r in
+             pagerank(_edges(spark, pairs), iters=50, tol=1e-6).collect()}
+    tight = {r.node: r.rank for r in
+             pagerank(_edges(spark, pairs), iters=50, tol=1e-13).collect()}
+    # both converged well past tol=1e-6's stopping round → ranks agree to
+    # the tolerance scale even though they stopped at different rounds
+    assert set(loose) == set(tight)
+    assert all(abs(loose[n] - tight[n]) <= 1e-5 for n in loose)
+
+
+def test_pagerank_checkpoint_cadence_bit_identical(spark):
+    """checkpoint_every must be a pure materialization knob: every cadence
+    yields bit-identical ranks to per-round checkpointing."""
+    pairs = [(i % 23, (i * 5 + 2) % 23) for i in range(80)]
+    want = {r.node: r.rank for r in
+            pagerank(_edges(spark, pairs), iters=7, checkpoint_every=1).collect()}
+    for k in (2, 3, 10):
+        got = {r.node: r.rank for r in
+               pagerank(_edges(spark, pairs), iters=7, checkpoint_every=k).collect()}
+        assert got == want, f"cadence {k} changed values"
