@@ -38,6 +38,7 @@ from darkbo_spark.kg.link import link_entities
 from darkbo_spark.kg.materialize import bucketize_triples
 from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
 from darkbo_spark.kg.triples import extract_doc_triples_df
+from darkbo_spark.storage import make_table
 from darkbo_spark.storage.snapshots import BuildLock, SnapshotTable, partition_metrics
 
 CODE_VERSION = "1"
@@ -130,12 +131,12 @@ def _run_locked(
         input_fingerprint = input_fingerprint or _fp("synth_pages", str(n_pages), str(seed))
     assert input_fingerprint, "provide input_fingerprint for external pages input"
 
-    metrics_tbl = SnapshotTable(out_dir, "_metrics")
+    metrics_tbl = make_table(out_dir, "_metrics")
     metrics_rows: list[dict] = []
 
-    def stage(name: str, parent_fp: str, params: str, build) -> tuple[SnapshotTable, str]:
+    def stage(name: str, parent_fp: str, params: str, build):
         fp = _fp(parent_fp, name, params, CODE_VERSION)
-        tbl = SnapshotTable(out_dir, name)
+        tbl = make_table(out_dir, name)
         res.tables[name] = tbl
         if tbl.current_fingerprint() == fp:
             res.stages_skipped.append(name)
