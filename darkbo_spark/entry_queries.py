@@ -28,6 +28,7 @@ import darkbo_spark.queries.retrieval  # noqa: E402,F401
 import darkbo_spark.queries.textops  # noqa: E402,F401
 import darkbo_spark.queries.dedup_queries  # noqa: E402,F401
 import darkbo_spark.queries.span_queries  # noqa: E402,F401
+import darkbo_spark.queries.line_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -59,6 +60,8 @@ _DRIVER_WINDOW = [
     "dup_span_trim_x",
     "image_phash_x",
     "quality_classifier_x",
+    "line_dedup_counts_x",
+    "line_dedup_trim_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -104,8 +107,6 @@ _DRIVER_WINDOW = [
     "parsed_search_stored",
     # -- tier 3 padding: r4-green refreshes; each new round-5 oracled query
     #    displaces one of these (new queries enter tier 1 above) --
-    "ann_ivf_stored",
-    "parsed_search_incremental_x",
     "kg_triples_x",
     "kg_linked_x",
     "kg_canonicalize_x",
