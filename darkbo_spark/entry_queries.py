@@ -29,6 +29,7 @@ import darkbo_spark.queries.textops  # noqa: E402,F401
 import darkbo_spark.queries.dedup_queries  # noqa: E402,F401
 import darkbo_spark.queries.span_queries  # noqa: E402,F401
 import darkbo_spark.queries.line_queries  # noqa: E402,F401
+import darkbo_spark.queries.domain_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -62,6 +63,8 @@ _DRIVER_WINDOW = [
     "quality_classifier_x",
     "line_dedup_counts_x",
     "line_dedup_trim_x",
+    "domain_stats_x",
+    "domain_caps_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -109,8 +112,6 @@ _DRIVER_WINDOW = [
     #    displaces one of these (new queries enter tier 1 above) --
     "kg_triples_x",
     "kg_linked_x",
-    "kg_canonicalize_x",
-    "shard_pack_x",
     "decontaminate_x",
 ]
 
