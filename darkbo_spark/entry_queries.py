@@ -30,6 +30,7 @@ import darkbo_spark.queries.dedup_queries  # noqa: E402,F401
 import darkbo_spark.queries.span_queries  # noqa: E402,F401
 import darkbo_spark.queries.line_queries  # noqa: E402,F401
 import darkbo_spark.queries.domain_queries  # noqa: E402,F401
+import darkbo_spark.queries.html_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -65,6 +66,7 @@ _DRIVER_WINDOW = [
     "line_dedup_trim_x",
     "domain_stats_x",
     "domain_caps_x",
+    "html_extract_parity",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -112,7 +114,6 @@ _DRIVER_WINDOW = [
     #    displaces one of these (new queries enter tier 1 above) --
     "kg_triples_x",
     "kg_linked_x",
-    "decontaminate_x",
 ]
 
 
