@@ -31,6 +31,7 @@ import darkbo_spark.queries.span_queries  # noqa: E402,F401
 import darkbo_spark.queries.line_queries  # noqa: E402,F401
 import darkbo_spark.queries.domain_queries  # noqa: E402,F401
 import darkbo_spark.queries.html_queries  # noqa: E402,F401
+import darkbo_spark.queries.linkgraph_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -67,6 +68,8 @@ _DRIVER_WINDOW = [
     "domain_stats_x",
     "domain_caps_x",
     "html_extract_parity",
+    "host_linkgraph_x",
+    "host_pagerank_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -110,10 +113,6 @@ _DRIVER_WINDOW = [
     #    (graph.py PageRank hygiene; queries/common.py stored-index lock) --
     "kg_entity_pagerank_x",
     "parsed_search_stored",
-    # -- tier 3 padding: r4-green refreshes; each new round-5 oracled query
-    #    displaces one of these (new queries enter tier 1 above) --
-    "kg_triples_x",
-    "kg_linked_x",
 ]
 
 

@@ -520,6 +520,20 @@ def pagerank_oracle_sql(
     doubles — and the damping base is written as (1.0 - d)/n, NOT a
     folded literal, because 1.0-0.85 ≠ nearest-double(0.15) and the Spark
     side computes the subtraction."""
+    # _sents_cte (inside _linked_edges_ctes) already opens the WITH clause
+    return f"""{_linked_edges_ctes(id_limit)},
+{pagerank_rounds_ctes(iters, damping)}
+SELECT node, rank FROM r{iters}
+ORDER BY node
+"""
+
+
+def pagerank_rounds_ctes(iters: int, damping: float) -> str:
+    """The generic unrolled power-method CTE chain (r0..r{iters}) over
+    ALREADY-DEFINED CTEs e(src, dst), nodes(node), nn(n) — shared by the
+    entity-graph oracle above and the host-link-graph oracle
+    (queries/linkgraph_queries.py), so the float discipline lives in
+    exactly one place."""
     d = f"CAST({damping} AS DOUBLE)"
     base = f"((CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn))"
     parts = [
@@ -539,13 +553,7 @@ def pagerank_oracle_sql(
     GROUP BY e.dst
   ) s ON s.node = nodes.node
 )""")
-    ctes = ",\n".join(parts)
-    # _sents_cte (inside _linked_edges_ctes) already opens the WITH clause
-    return f"""{_linked_edges_ctes(id_limit)},
-{ctes}
-SELECT node, rank FROM r{iters}
-ORDER BY node
-"""
+    return ",\n".join(parts)
 
 
 def two_hop_oracle_sql(id_limit: int = 240) -> str:
