@@ -70,6 +70,7 @@ _DRIVER_WINDOW = [
     "html_extract_parity",
     "host_linkgraph_x",
     "host_pagerank_x",
+    "kg_incremental_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW = [
     "dense_topk",
     "tfidf_topk",
     "parsed_search_topk",
-    "hybrid_search",
     "ann_ivf_full_probe",
     "ann_multiprobe_exact",
     "corpus_stats",

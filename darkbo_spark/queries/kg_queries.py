@@ -315,3 +315,41 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_two_hop"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental KG maintenance (kg/incremental.py), driver-proven equal to a
+# full rebuild: a stale KG built from pages where every 3rd document
+# carries DIFFERENT (shifted-id) content is repaired by re-running only
+# those pages through E→S→T→L and upserting by url — and the result must
+# hash-match the SAME full-corpus oracle as kg_linked_x.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import raw_text_sql, twin_pages  # noqa: E402
+
+
+@_q("kg_incremental_x", linked_oracle_sql(240))
+def kg_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale build + delta upsert ≡ full rebuild ≡ DuckDB replay. The
+    stale corpus is REAL wrong content (each doc_id%3==0 page rendered
+    from doc_id+101's template — different entities, different triples),
+    so the upsert exercises genuine replacement, not append."""
+    from darkbo_spark.kg.incremental import extract_and_link, upsert_triples_by_url
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+
+    docs = _t(spark, sf_dir, "documents")
+    stale_text = (
+        f"(CASE WHEN doc_id % 3 = 0 THEN {raw_text_sql('(doc_id + 101)')} "
+        f"ELSE {raw_text_sql('doc_id')} END)"
+    )
+    stale_pages = docs.filter(F.col("doc_id") < 240).select(
+        F.concat(F.lit("https://twin.test/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        F.expr(stale_text).alias("text"),
+    )
+    delta_pages = twin_pages(docs.filter(F.col("doc_id") % 3 == 0))
+    dictionary = twin_entity_dict(spark)
+    stale_kg = extract_and_link(stale_pages, dictionary)
+    fresh = extract_and_link(delta_pages, dictionary)
+    return upsert_triples_by_url(stale_kg, fresh, delta_pages.select("url"))
