@@ -88,6 +88,19 @@ HEADLINE = [
     "repetition_signals",
     "redact_pii_docs",
     "unigram_logprob_scores",
+    # round 5 additions
+    "dup_spans_x",
+    "dup_span_trim_x",
+    "image_phash_x",
+    "quality_classifier_x",
+    "line_dedup_counts_x",
+    "line_dedup_trim_x",
+    "domain_stats_x",
+    "domain_caps_x",
+    "html_extract_parity",
+    "host_linkgraph_x",
+    "host_pagerank_x",
+    "kg_incremental_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

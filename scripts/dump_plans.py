@@ -101,6 +101,26 @@ CHECKS = {
     # broadcast offsets; the corpus must NEVER funnel through the
     # SinglePartition global-window exchange
     "shard_pack_x": ["!SinglePartition", "BroadcastHashJoin", "!CartesianProduct"],
+    # --- line-level boilerplate dedup: classification is ONE aggregate
+    # over the exploded line set (map-side partial combine collapses
+    # duplicated lines before the exchange), removal is an anti-join —
+    # never a pair join, never a product
+    "line_dedup_trim_x": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
+    # --- per-domain cap: the skew-safe two-phase rank — BOTH window
+    # stages hash-partition (domain,salt)/(domain); the corpus never
+    # funnels through a single-partition global sort
+    "domain_caps_x": ["Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct"],
+    # --- host link graph: href extraction + host parse are pure codegen
+    # column expressions (ZERO python in the hot path) into one partially-
+    # aggregated rollup
+    "host_linkgraph_x": ["HashAggregate", "!ArrowEvalPython", "!CartesianProduct"],
+    # --- html ingest parity: the bytes → tag-strip → clean chain is one
+    # fused Arrow crossing over a narrow map — no shuffle at all
+    "html_extract_parity": ["ArrowEvalPython", "!Exchange"],
+    # --- incremental KG upsert: delta re-link is broadcast joins, the
+    # url retirement is a broadcast anti-join — the kept triples are
+    # never shuffled, nothing degenerates to sort-merge or a product
+    "kg_incremental_x": ["BroadcastHashJoin", "LeftAnti", "!SortMergeJoin", "!CartesianProduct"],
 }
 
 
