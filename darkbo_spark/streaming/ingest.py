@@ -465,3 +465,110 @@ def stream_docs_to_tf_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_kg_upsert_table(spark: SparkSession, kg_path: str) -> DataFrame:
+    """The materialized url-bucketed KG triple table (empty frame with the
+    canonical schema when nothing has landed yet)."""
+    import os
+
+    schema = (
+        "url string, sent_idx bigint, subj string, pred string, obj string, "
+        "subj_eid string, obj_eid string, url_bucket int"
+    )
+    if not os.path.isdir(kg_path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(kg_path)
+
+
+def stream_pages_to_kg_upsert(
+    spark: SparkSession,
+    input_path: str,
+    kg_path: str,
+    checkpoint_path: str,
+    entity_dict: DataFrame,
+    link_strategy: str = "broadcast",
+    n_buckets: int = 32,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming KG MAINTENANCE at delta cost: each micro-batch of
+    (re)fetched pages runs E→S→T→L and upserts by url into a triple table
+    partitioned by url-hash bucket — only the buckets containing the
+    batch's urls are read and rewritten (dynamic partition overwrite), so
+    per-batch I/O scales with the delta's bucket footprint, never the
+    corpus (the batch twin is kg/incremental.upsert_triples_by_url; the
+    store layout mirrors parsed_search_stored's token-bucket pruning).
+
+    Exactly-once EFFECT without a fingerprint: url-keyed delete-and-insert
+    is IDEMPOTENT — replaying a committed batch removes the very rows it
+    previously inserted and reinserts them, converging to the same table.
+    A crash mid-way through the multi-bucket overwrite can leave a reader
+    seeing some buckets new and some old until the replay converges; the
+    production swap is an Iceberg MERGE (one atomic multi-partition
+    commit) through the same storage seam (docs in storage/interface.py).
+
+    Same caveat as the tf-index stream: two versions of one url inside a
+    SINGLE file batch have undefined last-writer order — refetches land
+    in separate files/batches by construction of a crawl frontier."""
+    from darkbo_spark.kg.incremental import extract_and_link, upsert_triples_by_url
+
+    def _bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        fresh = extract_and_link(batch_df, entity_dict, strategy=link_strategy)
+        fresh = fresh.withColumn("url_bucket", _bucket(F.col("url")))
+        delta_urls = batch_df.select("url").distinct()
+        # bounded driver materialization: at most n_buckets ints
+        buckets = [
+            r.b for r in delta_urls.select(_bucket(F.col("url")).alias("b"))
+            .distinct().collect()
+        ]
+        if os.path.isdir(kg_path):
+            # partition-pruned read of ONLY the delta's buckets
+            stale = read_kg_upsert_table(spark, kg_path).filter(
+                F.col("url_bucket").isin(buckets)
+            )
+            merged = upsert_triples_by_url(stale, fresh, delta_urls)
+        else:
+            merged = fresh
+        # the merged plan reads the same partitions the write overwrites —
+        # cut the dependency before writing
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.repartition("url_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("url_bucket")
+            .parquet(kg_path)
+        )
+        # dynamic overwrite only rewrites partitions that received rows: a
+        # delta bucket whose every triple was retired (refetch with no
+        # extractable content) would silently keep its stale partition —
+        # drop such buckets explicitly (idempotent: a replay re-drops)
+        import shutil
+
+        present = {
+            r.b for r in merged.select(F.col("url_bucket").alias("b"))
+            .distinct().collect()
+        }
+        for b in buckets:
+            if b not in present:
+                shutil.rmtree(
+                    os.path.join(kg_path, f"url_bucket={b}"), ignore_errors=True
+                )
+
+    return (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -393,3 +393,77 @@ def test_stream_incremental_tf_index_equals_batch_build(spark, tmp_path):
     q3 = stream_docs_to_tf_index(spark, inp, idx, ckpt, max_files_per_trigger=1)
     q3.awaitTermination(120)
     assert SnapshotTable(idx, "tf_index").current()["seq"] == seq_before
+
+
+def test_stream_kg_upsert_equals_batch_rebuild(spark, tmp_path):
+    """Streaming KG maintenance: after a wave of new pages and a wave of
+    REFETCHES (changed content + a page that loses all its triples), the
+    bucketed triple table equals a batch E→S→T→L over the final corpus;
+    re-processing everything from a fresh checkpoint (one-batch replay)
+    converges to the same table."""
+    from darkbo_spark.kg.incremental import extract_and_link
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+    from darkbo_spark.streaming.ingest import (
+        read_kg_upsert_table,
+        stream_pages_to_kg_upsert,
+    )
+
+    inp = str(tmp_path / "pages_in")
+    kg = str(tmp_path / "kg_tbl")
+    ckpt = str(tmp_path / "kg_ckpt")
+    dictionary = twin_entity_dict(spark)
+
+    def pages_df(rows):
+        df = pd.DataFrame(rows, columns=["url", "text"])
+        df["warc_ts"] = pd.Timestamp("2024-01-01")
+        df["lang"] = "en"
+        df["html"] = None
+        df["page_id"] = range(len(df))
+        return spark.createDataFrame(
+            df[["page_id", "url", "warc_ts", "html", "text"]]
+        ).select("page_id", "url", "warc_ts",
+                 F.col("html").cast("binary").alias("html"), "text",
+                 F.lit("en").alias("lang"))
+
+    wave1 = [
+        ("u/0", "Acme Systems was founded in 1990."),
+        ("u/1", "Quantum Labs is based in Berlin."),
+        ("u/2", "Maria Garcia works at Stellar Dynamics."),
+    ]
+    pages_df(wave1).coalesce(1).write.mode("append").parquet(inp)
+    q = stream_pages_to_kg_upsert(
+        spark, inp, kg, ckpt, dictionary, max_files_per_trigger=1, n_buckets=8
+    )
+    q.awaitTermination(120)
+
+    wave2 = [
+        ("u/0", "Acme Systems acquired Vertex Holdings."),  # changed triples
+        ("u/2", "no facts remain on this page"),             # loses ALL triples
+        ("u/3", "Wei Chen is the CEO of Nimbus Labs."),      # new page
+    ]
+    pages_df(wave2).coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_pages_to_kg_upsert(
+        spark, inp, kg, ckpt, dictionary, max_files_per_trigger=1, n_buckets=8
+    )
+    q2.awaitTermination(120)
+
+    final = dict(wave1)
+    final.update(dict(wave2))
+    want = extract_and_link(pages_df(sorted(final.items())), dictionary)
+    got = read_kg_upsert_table(spark, kg).drop("url_bucket")
+
+    def keys(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert keys(got) == keys(want)
+    assert got.filter(F.col("url") == "u/2").count() == 0  # retired bucket
+
+    # replay convergence: fresh checkpoint reprocesses ALL files against
+    # the already-updated table — the url-keyed upsert must be idempotent
+    # (note: one batch per file keeps wave order, so last-writer is wave2)
+    q3 = stream_pages_to_kg_upsert(
+        spark, inp, kg, str(tmp_path / "kg_ckpt2"), dictionary,
+        max_files_per_trigger=1, n_buckets=8,
+    )
+    q3.awaitTermination(120)
+    assert keys(read_kg_upsert_table(spark, kg).drop("url_bucket")) == keys(want)
