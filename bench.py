@@ -101,6 +101,7 @@ HEADLINE = [
     "host_linkgraph_x",
     "host_pagerank_x",
     "kg_incremental_x",
+    "semantic_dedup_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -71,6 +71,7 @@ _DRIVER_WINDOW = [
     "host_linkgraph_x",
     "host_pagerank_x",
     "kg_incremental_x",
+    "semantic_dedup_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -82,7 +83,6 @@ _DRIVER_WINDOW = [
     "point_lookup",
     "customers_without_recent_orders",
     "customers_with_orders",
-    "dense_topk",
     "tfidf_topk",
     "parsed_search_topk",
     "ann_ivf_full_probe",

@@ -596,3 +596,64 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", _MIX_FRACTIONS, salt="mix1", default_fraction=0.05
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — embedding-space near-dup removal (operators/semdedup.py):
+# fixed seeded codebook partitions the space, pairwise cosine within each
+# cell, keep-lowest-id retention. The codebook inlines into the oracle as
+# literals (repr round-trips doubles), so DuckDB replays assignment
+# (9dp-rounded dots, first-index argmax), the in-cell pair scan, and the
+# retention rule bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.operators.semdedup import fixed_codebook as _sem_codebook  # noqa: E402
+
+_SEM_CELLS = 8
+_SEM_TAU = 0.4
+_SEM_LIMIT = 300
+_SEM_CB = _sem_codebook(64, _SEM_CELLS, seed=42)
+
+_SEM_CB_SQL = (
+    "[" + ", ".join("[" + ", ".join(repr(x) for x in row) + "]" for row in _SEM_CB) + "]"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {_SEM_LIMIT}
+),
+cells AS (
+  SELECT vec_id, v,
+         CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INTEGER) AS cell
+  FROM (
+    SELECT vec_id, v,
+           list_transform({_SEM_CB_SQL}::DOUBLE[][],
+                          c -> round(list_dot_product(v, c), 9)) AS dots
+    FROM e
+  )
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              6) >= {_SEM_TAU}
+)
+SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+"""
+
+
+@_q("semantic_dedup_x", _SEMDEDUP_ORACLE)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end under the driver hash: cell assignment
+    (tie-broken argmax), bounded in-cell pair scan, keep-lowest-id
+    retention — the paraphrase-dedup semantics MinHash can't see."""
+    from darkbo_spark.operators.semdedup import semantic_dedup
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SEM_LIMIT)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    return semantic_dedup(emb, _SEM_CB, min_cosine=_SEM_TAU)

@@ -121,6 +121,9 @@ CHECKS = {
     # url retirement is a broadcast anti-join — the kept triples are
     # never shuffled, nothing degenerates to sort-merge or a product
     "kg_incremental_x": ["BroadcastHashJoin", "LeftAnti", "!SortMergeJoin", "!CartesianProduct"],
+    # --- SemDeDup: the in-cell pair scan is an EQUI-join on the cell id
+    # (the quadratic is bounded per cell, never a corpus cross product)
+    "semantic_dedup_x": ["hashpartitioning", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 
