@@ -102,6 +102,7 @@ HEADLINE = [
     "host_pagerank_x",
     "kg_incremental_x",
     "semantic_dedup_x",
+    "training_pipeline_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

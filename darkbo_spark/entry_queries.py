@@ -32,6 +32,7 @@ import darkbo_spark.queries.line_queries  # noqa: E402,F401
 import darkbo_spark.queries.domain_queries  # noqa: E402,F401
 import darkbo_spark.queries.html_queries  # noqa: E402,F401
 import darkbo_spark.queries.linkgraph_queries  # noqa: E402,F401
+import darkbo_spark.queries.pipeline_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -72,6 +73,7 @@ _DRIVER_WINDOW = [
     "host_pagerank_x",
     "kg_incremental_x",
     "semantic_dedup_x",
+    "training_pipeline_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -100,7 +102,6 @@ _DRIVER_WINDOW = [
     "exact_dedup_docs",
     "token_jaccard_pairs",
     "training_data_filter",
-    "cosine_neardup_pairs",
     "simhash_docs_x",
     "dedup_first_wins",
     "running_totals",

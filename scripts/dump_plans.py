@@ -124,6 +124,12 @@ CHECKS = {
     # --- SemDeDup: the in-cell pair scan is an EQUI-join on the cell id
     # (the quadratic is bounded per cell, never a corpus cross product)
     "semantic_dedup_x": ["hashpartitioning", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # --- composed training pipeline: the final explain starts at the
+    # prefix-sum localCheckpoint (Scan ExistingRDD — the upstream
+    # gate/dedup/cap windows are gated in their own entries above), so the
+    # observable claims are the broadcast shard offsets and the absence of
+    # any SinglePartition funnel or product in the packing tail
+    "training_pipeline_x": ["BroadcastHashJoin", "!SinglePartition", "!CartesianProduct"],
 }
 
 
