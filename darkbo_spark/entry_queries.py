@@ -33,6 +33,7 @@ import darkbo_spark.queries.domain_queries  # noqa: E402,F401
 import darkbo_spark.queries.html_queries  # noqa: E402,F401
 import darkbo_spark.queries.linkgraph_queries  # noqa: E402,F401
 import darkbo_spark.queries.pipeline_queries  # noqa: E402,F401
+import darkbo_spark.queries.warc_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -74,6 +75,7 @@ _DRIVER_WINDOW = [
     "kg_incremental_x",
     "semantic_dedup_x",
     "training_pipeline_x",
+    "warc_parse_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -100,7 +102,6 @@ _DRIVER_WINDOW = [
     "bpe_token_counts",
     "bpe_real_token_counts_x",
     "exact_dedup_docs",
-    "token_jaccard_pairs",
     "training_data_filter",
     "simhash_docs_x",
     "dedup_first_wins",

@@ -1,0 +1,80 @@
+"""WARC source twin: the real byte-level record parser (sources/warc.py)
+driver-oracled. Both engines construct the SAME single-record WARC bytes
+around each documents row (headers + CRLF framing + the text as payload);
+the Spark side runs the REAL parser over the bytes (Arrow UDF), DuckDB
+re-derives url / declared length / payload md5 from the byte layout with
+regexp + substring arithmetic — so header parsing, CRLFCRLF framing, and
+Content-Length slicing are all under the driver hash. Multi-record
+streams, HTTP envelope stripping, and torn-tail tolerance are pinned in
+tests/test_warc.py (byte fixtures a SQL engine can't express).
+
+Part of the driver-contract query corpus (see darkbo_spark/entry_queries.py
+for the registry, driver-window ordering, and the shared float discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from darkbo_spark.queries.common import _q, _t
+
+_CRLF = "chr(13) || chr(10)"
+
+# one WARC record per documents row, dialect-neutral
+_WARC_REC_SQL = (
+    f"'WARC/1.0' || {_CRLF}"
+    f" || 'WARC-Type: response' || {_CRLF}"
+    f" || 'WARC-Target-URI: https://w.test/' || CAST(doc_id AS STRING) || {_CRLF}"
+    f" || 'WARC-Date: 2024-01-01T00:00:00Z' || {_CRLF}"
+    f" || 'Content-Length: ' || CAST(length(text) AS STRING) || {_CRLF} || {_CRLF}"
+    f" || text"
+)
+
+_WARC_ORACLE = f"""
+WITH r AS (SELECT doc_id, {_WARC_REC_SQL} AS rec FROM documents WHERE doc_id < 400)
+SELECT doc_id,
+       regexp_extract(rec, 'WARC-Target-URI: ([^\r\n]+)', 1) AS url,
+       CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS content_length,
+       md5(substr(rec, strpos(rec, {_CRLF} || {_CRLF}) + 4,
+                  CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT))) AS payload_md5
+FROM r
+"""
+
+
+@_q("warc_parse_x", _WARC_ORACLE)
+def warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-exact WARC record parse under the driver hash: url from
+    the header block, declared Content-Length, md5 over the SLICED
+    payload (framing arithmetic, not string luck)."""
+    import hashlib
+
+    from darkbo_spark.sources.warc import parse_warc_bytes
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["rec"]):
+                rec = next(parse_warc_bytes(bytes(b)), None)
+                if rec is None:
+                    rows.append((doc_id, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            doc_id,
+                            rec["url"],
+                            rec["content_length"],
+                            hashlib.md5(rec["payload"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "url", "content_length", "payload_md5"]
+            )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    rec_df = d.select("doc_id", F.encode(F.expr(_WARC_REC_SQL), "utf-8").alias("rec"))
+    return rec_df.mapInPandas(
+        parse, "doc_id bigint, url string, content_length bigint, payload_md5 string"
+    )

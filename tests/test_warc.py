@@ -1,0 +1,89 @@
+"""WARC source (sources/warc.py): byte-exact parse, adversarial payloads,
+torn tails, HTTP envelope strip, and the full WARC→pages→pipeline-input
+round trip."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from darkbo_spark.sources.warc import (
+    http_body,
+    pages_from_warc,
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+
+
+def _rec(url, payload, rec_type="response", date="2024-01-01T00:00:00Z"):
+    return {"url": url, "warc_date": date, "rec_type": rec_type, "payload": payload}
+
+
+def test_round_trip_multi_record(tmp_path):
+    recs = [
+        _rec("https://a.test/1", b"<html>one</html>"),
+        _rec("https://a.test/2", b"<html>two</html>"),
+        _rec("https://a.test/meta", b"{}", rec_type="warcinfo"),
+    ]
+    p = str(tmp_path / "t.warc")
+    write_warc(recs, p)
+    got = list(parse_warc_bytes(open(p, "rb").read()))
+    assert [(r["url"], r["payload"]) for r in got] == [
+        (r["url"], r["payload"]) for r in recs
+    ]
+
+
+def test_payload_containing_warc_magic_not_split():
+    """Payload bytes must be sliced by Content-Length, never scanned —
+    a page QUOTING 'WARC/1.0\\r\\n\\r\\n' stays one record."""
+    evil = b"look: WARC/1.0\r\nContent-Length: 0\r\n\r\n inside a page"
+    recs = [_rec("https://e.test/x", evil), _rec("https://e.test/y", b"next")]
+    data = b""
+    import io
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        write_warc(recs, f.name)
+        data = open(f.name, "rb").read()
+    got = list(parse_warc_bytes(data))
+    assert [r["url"] for r in got] == ["https://e.test/x", "https://e.test/y"]
+    assert got[0]["payload"] == evil
+
+
+def test_torn_tail_dropped_not_raised(tmp_path):
+    p = str(tmp_path / "torn.warc")
+    write_warc([_rec("https://t.test/ok", b"complete"),
+                _rec("https://t.test/torn", b"this payload gets cut")], p)
+    data = open(p, "rb").read()[:-15]  # cut into the last payload
+    got = list(parse_warc_bytes(data))
+    assert [r["url"] for r in got] == ["https://t.test/ok"]
+
+
+def test_http_body_strip():
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+    assert http_body(payload) == b"<html>hi</html>"
+    assert http_body(b"no envelope here") == b"no envelope here"
+
+
+def test_read_warc_to_pages_to_docs(spark, tmp_path):
+    """The production ingestion path end to end: WARC member file →
+    distributed parse → pages shape → extract_docs(re_extract_html) —
+    the recovered clean text matches cleaning the raw html directly."""
+    from darkbo_spark.functions.textnorm import clean_text_udf, html_to_text
+    from darkbo_spark.kg.extract import extract_docs
+    from darkbo_spark.reference_impl import clean_text
+
+    html = b"<html><head><script>var x=1;</script></head><body><p>Acme Systems was founded in 1990.</p></body></html>"
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    p = str(tmp_path / "cc.warc")
+    write_warc(
+        [_rec("https://cc.test/p1", payload),
+         _rec("https://cc.test/robots", b"User-agent: *", rec_type="resource")],
+        p,
+    )
+    pages = pages_from_warc(read_warc(spark, p))
+    rows = pages.collect()
+    assert [r.url for r in rows] == ["https://cc.test/p1"]  # non-response dropped
+    assert bytes(rows[0].html) == html                      # HTTP envelope stripped
+    docs = extract_docs(pages, re_extract_html=True).collect()
+    assert docs[0].text == clean_text(html_to_text(html))
+    assert "Acme Systems" in docs[0].text
