@@ -134,3 +134,147 @@ def search_text(
             "doc_id", F.lit(0.0).alias("score")
         ).orderBy(F.asc("doc_id")).limit(top_k)
     return bm25_score_query(candidates, rank_terms, top_k=top_k)
+
+
+# ---------------------------------------------------------------------------
+# Boolean extension — Whoosh QueryParser's OR / NOT operators (uppercase
+# keywords, Whoosh precedence NOT > AND > OR; AND is the default group so
+# an explicit AND is a no-op separator). Parenthesized grouping is not
+# implemented (the reference never parenthesizes; documented limit).
+# ---------------------------------------------------------------------------
+
+_BOOL_TOKEN = re.compile(r'"[^"]*"|\S+')
+
+
+@dataclass
+class BoolClause:
+    terms: list[str] = field(default_factory=list)
+    phrases: list[str] = field(default_factory=list)
+    not_terms: list[str] = field(default_factory=list)
+    not_phrases: list[str] = field(default_factory=list)
+
+    def has_positive(self) -> bool:
+        return bool(self.terms or self.phrases)
+
+
+@dataclass
+class BoolQuery:
+    clauses: list[BoolClause] = field(default_factory=list)  # OR of clauses
+
+
+def parse_boolean_query(text: str) -> BoolQuery:
+    """OR-of-AND-clauses with NOT'd factors. Factors are analyzed exactly
+    like parse_query (lowercase \\w+, stopwords and len<2 dropped — a
+    negated stopword therefore vanishes, matching Whoosh's analyzer-first
+    behavior); quoted phrases are factors too."""
+    clauses: list[BoolClause] = []
+    cur = BoolClause()
+    negate = False
+    for raw in _BOOL_TOKEN.findall(text or ""):
+        if raw == "OR":
+            clauses.append(cur)
+            cur = BoolClause()
+            negate = False
+            continue
+        if raw == "AND":
+            continue
+        if raw == "NOT":
+            negate = True
+            continue
+        if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+            ph = raw[1:-1].strip().lower()
+            if ph:
+                (cur.not_phrases if negate else cur.phrases).append(ph)
+            negate = False
+            continue
+        for w in _WORD.findall(raw.lower()):
+            if len(w) < 2 or w in STOP_WORDS:
+                continue
+            dst = cur.not_terms if negate else cur.terms
+            if w not in dst:
+                dst.append(w)
+        negate = False
+    clauses.append(cur)
+    return BoolQuery(clauses=[c for c in clauses if c.has_positive() or c.not_terms or c.not_phrases])
+
+
+def _clause_matches(docs, postings, clause, text_col, id_col):
+    """doc_id frame matching one clause: AND over positive factors, then
+    negated factors removed FROM THE CANDIDATES (negation never scans the
+    corpus when the clause has positive factors)."""
+    spark = docs.sparkSession
+    import pandas as pd
+
+    if clause.terms:
+        q = spark.createDataFrame(pd.DataFrame({"token": sorted(set(clause.terms))}))
+        matched = (
+            postings.join(F.broadcast(q), "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == len(set(clause.terms)))
+            .select("doc_id")
+        )
+    else:
+        matched = docs.select(F.col(id_col).alias("doc_id"))
+    pos_pats = [p for p in (phrase_regex(ph) for ph in clause.phrases) if p]
+    neg_pats = [p for p in (phrase_regex(ph) for ph in clause.not_phrases) if p]
+    if pos_pats or neg_pats:
+        cand = docs.select(
+            F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lt")
+        ).join(matched, "doc_id", "left_semi")
+        cond = F.lit(True)
+        for pat in pos_pats:
+            cond = cond & F.col("_lt").rlike(pat)
+        for pat in neg_pats:
+            cond = cond & ~F.col("_lt").rlike(pat)
+        matched = cand.filter(cond).select("doc_id")
+    if clause.not_terms:
+        nq = spark.createDataFrame(
+            pd.DataFrame({"token": sorted(set(clause.not_terms))})
+        )
+        has_neg = (
+            postings.join(F.broadcast(nq), "token").select("doc_id").distinct()
+        )
+        matched = matched.join(has_neg, "doc_id", "left_anti")
+    return matched
+
+
+def search_boolean(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Boolean sparse search: OR/NOT extension of search_text. Matching is
+    the union of clause matches; ranking is BM25 over every POSITIVE
+    analyzed term/phrase-word in the query (Whoosh's scoring shape — NOT
+    factors filter, they never score). Returns (doc_id, score)."""
+    bq = parse_boolean_query(query)
+    if postings is None:
+        postings = build_bm25_postings(docs, text_col, id_col)
+    if not bq.clauses:
+        return docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    matched = _clause_matches(docs, postings, bq.clauses[0], text_col, id_col)
+    for clause in bq.clauses[1:]:
+        matched = matched.union(
+            _clause_matches(docs, postings, clause, text_col, id_col)
+        )
+    matched = matched.distinct()
+    rank_terms: list[str] = []
+    for c in bq.clauses:
+        rank_terms.extend(c.terms)
+        for ph in c.phrases:
+            rank_terms.extend(
+                w for w in _WORD.findall(ph) if len(w) >= 2 and w not in STOP_WORDS
+            )
+    rank_terms = sorted(set(rank_terms))
+    candidates = postings.join(matched, "doc_id", "left_semi")
+    if not rank_terms:
+        return candidates.select("doc_id").distinct().select(
+            "doc_id", F.lit(0.0).alias("score")
+        ).orderBy(F.asc("doc_id")).limit(top_k)
+    return bm25_score_query(candidates, rank_terms, top_k=top_k)

@@ -1,0 +1,62 @@
+"""Boolean query-syntax twin: the Whoosh QueryParser OR / NOT extension
+(operators/queryparse.py parse_boolean_query / search_boolean),
+driver-oracled. Closes the last reference-parser breadth gap: the
+reference's own flows only exercise the default AND group (the oracled
+parsed_search family), but Whoosh accepts OR/NOT and a drop-in engine
+should too.
+
+The raw query exercises every operator path at once: a phrase-only OR
+clause, a term clause with a NOT exclusion — matching is the union of
+clause matches, negation filters candidates (never scores), and ranking
+is BM25 over all positive analyzed words, replayed in SQL over the shared
+BM25 CTEs.
+
+Part of the driver-contract query corpus (see darkbo_spark/entry_queries.py
+for the registry, driver-window ordering, and the shared float discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from darkbo_spark.operators.queryparse import parse_boolean_query, phrase_regex
+from darkbo_spark.queries.common import _q, _t
+from darkbo_spark.queries.retrieval import _BM25_CTES, _BM25_W
+
+_BOOL_QUERY = '"window agg" OR batch NOT vector'
+
+_BQ = parse_boolean_query(_BOOL_QUERY)
+assert [c.phrases for c in _BQ.clauses] == [["window agg"], []]
+assert _BQ.clauses[1].terms == ["batch"] and _BQ.clauses[1].not_terms == ["vector"]
+
+_RANK = sorted({"window", "agg", "batch"})
+
+_BOOLEAN_ORACLE = f"""
+WITH {_BM25_CTES},
+c1 AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text), '{phrase_regex("window agg")}')
+),
+negv AS (SELECT DISTINCT doc_id FROM tf WHERE token = 'vector'),
+c2 AS (
+  SELECT DISTINCT doc_id FROM tf
+  WHERE token = 'batch' AND doc_id NOT IN (SELECT doc_id FROM negv)
+),
+matched AS (SELECT doc_id FROM c1 UNION SELECT doc_id FROM c2)
+SELECT tf.doc_id,
+       CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+WHERE token IN ({", ".join(repr(t) for t in _RANK)})
+  AND tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("parsed_search_boolean_x", _BOOLEAN_ORACLE)
+def parsed_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.queryparse import search_boolean
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_boolean(docs, _BOOL_QUERY, "text", "doc_id", top_k=10)

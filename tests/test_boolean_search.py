@@ -1,0 +1,61 @@
+"""Boolean query syntax (operators/queryparse.py OR/NOT extension)."""
+
+import pandas as pd
+
+from darkbo_spark.operators.queryparse import parse_boolean_query, search_boolean
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+CORPUS = [
+    (1, "fast table scan with window agg"),
+    (2, "batch job over the vector index"),
+    (3, "batch merge pipeline"),
+    (4, "window agg inside a batch"),
+    (5, "nothing relevant here"),
+]
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.collect())
+
+
+def test_or_union_and_not_exclusion(spark):
+    docs = _docs(spark, CORPUS)
+    # clause1: phrase "window agg" → {1,4}; clause2: batch NOT vector → {3,4}
+    got = _ids(search_boolean(docs, '"window agg" OR batch NOT vector'))
+    assert got == [1, 3, 4]  # union, dedup (4 matches both clauses once)
+
+
+def test_not_filters_but_never_scores(spark):
+    docs = _docs(spark, CORPUS)
+    rows = search_boolean(docs, "batch NOT vector").collect()
+    assert sorted(r.doc_id for r in rows) == [3, 4]
+    # doc 2 (contains 'vector') excluded even though it has 'batch'
+
+
+def test_pure_not_matches_complement(spark):
+    docs = _docs(spark, CORPUS)
+    got = _ids(search_boolean(docs, "NOT batch"))
+    assert got == [1, 5]
+
+
+def test_negated_phrase(spark):
+    docs = _docs(spark, CORPUS)
+    got = _ids(search_boolean(docs, 'batch NOT "vector index"'))
+    assert got == [3, 4]
+
+
+def test_explicit_and_is_default_group(spark):
+    docs = _docs(spark, CORPUS)
+    a = _ids(search_boolean(docs, "window AND agg"))
+    b = _ids(search_boolean(docs, "window agg"))
+    assert a == b == [1, 4]
+
+
+def test_analyzer_applies_to_negation():
+    bq = parse_boolean_query("batch NOT the")  # negated stopword vanishes
+    assert bq.clauses[0].terms == ["batch"]
+    assert bq.clauses[0].not_terms == []
