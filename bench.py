@@ -103,6 +103,8 @@ HEADLINE = [
     "kg_incremental_x",
     "semantic_dedup_x",
     "training_pipeline_x",
+    "warc_parse_x",
+    "parsed_search_boolean_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
