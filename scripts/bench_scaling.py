@@ -99,8 +99,28 @@ def run_level(cores: int) -> dict:
         "--cores", str(cores),
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
-    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
-    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    # hard per-trial timeout + one retry: a wedged python-worker spawn
+    # (observed once under heavy ambient load — the executor task epoll-
+    # waits forever on a worker socket that never connects) must cost one
+    # trial, not the whole measurement session
+    timeout_s = int(os.environ.get("SCALING_TRIAL_TIMEOUT", "1200"))
+    lines: list[str] = []
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, cwd=REPO,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            subprocess.run(["pkill", "-9", "-f", out], capture_output=True)
+            print(f"trial timed out at local[{cores}] (attempt {attempt})",
+                  file=sys.stderr)
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+            continue
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            break
     if not lines:
         raise RuntimeError(f"run failed at local[{cores}]:\n{proc.stderr[-2000:]}")
     res = json.loads(lines[-1])
