@@ -130,6 +130,12 @@ CHECKS = {
     # observable claims are the broadcast shard offsets and the absence of
     # any SinglePartition funnel or product in the packing tail
     "training_pipeline_x": ["BroadcastHashJoin", "!SinglePartition", "!CartesianProduct"],
+    # --- WARC parse: record construction + byte parse is ONE narrow map
+    # over the scan — zero shuffles end to end
+    "warc_parse_x": ["MapInPandas", "!Exchange"],
+    # --- boolean search: clause matches are broadcast term joins, the
+    # final rank one top-k — no product anywhere in the OR/NOT machinery
+    "parsed_search_boolean_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
 }
 
 
