@@ -35,6 +35,7 @@ import darkbo_spark.queries.linkgraph_queries  # noqa: E402,F401
 import darkbo_spark.queries.pipeline_queries  # noqa: E402,F401
 import darkbo_spark.queries.warc_queries  # noqa: E402,F401
 import darkbo_spark.queries.boolean_queries  # noqa: E402,F401
+import darkbo_spark.queries.tokenizer_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -78,12 +79,12 @@ _DRIVER_WINDOW = [
     "training_pipeline_x",
     "warc_parse_x",
     "parsed_search_boolean_x",
+    "bpe_word_freqs_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
     "title_derivation",
     # -- tier 2: last green driver row is r3 --
-    "merge_upsert",
     "upsert_created_updated",
     "point_lookup",
     "customers_without_recent_orders",

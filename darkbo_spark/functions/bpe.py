@@ -83,6 +83,17 @@ def train_merges(corpus: str, n_merges: int) -> list[tuple[str, str]]:
     words: Counter[tuple[str, ...]] = Counter(
         tuple(w) for w in _BPE_RE.findall(corpus)
     )
+    return train_from_word_freqs(words, n_merges)
+
+
+def train_from_word_freqs(
+    words: "Counter[tuple[str, ...]]", n_merges: int
+) -> list[tuple[str, str]]:
+    """The merge loop over a word-frequency table — shared by the
+    single-string trainer above and the distributed trainer
+    (operators/bpe_train.py), so the two can never diverge on tie-break
+    or rekey semantics."""
+    words = Counter(words)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter[tuple[str, str]] = Counter()
