@@ -80,13 +80,13 @@ _DRIVER_WINDOW = [
     "warc_parse_x",
     "parsed_search_boolean_x",
     "bpe_word_freqs_x",
+    "parsed_search_fielded_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
     "title_derivation",
     # -- tier 2: last green driver row is r3 --
     "upsert_created_updated",
-    "point_lookup",
     "customers_without_recent_orders",
     "customers_with_orders",
     "tfidf_topk",

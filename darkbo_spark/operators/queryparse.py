@@ -152,9 +152,11 @@ class BoolClause:
     phrases: list[str] = field(default_factory=list)
     not_terms: list[str] = field(default_factory=list)
     not_phrases: list[str] = field(default_factory=list)
+    # Whoosh fielded terms (field:value): (field, value, negated)
+    fielded: list[tuple[str, str, bool]] = field(default_factory=list)
 
     def has_positive(self) -> bool:
-        return bool(self.terms or self.phrases)
+        return bool(self.terms or self.phrases or any(not n for _, _, n in self.fielded))
 
 
 @dataclass
@@ -162,11 +164,19 @@ class BoolQuery:
     clauses: list[BoolClause] = field(default_factory=list)  # OR of clauses
 
 
-def parse_boolean_query(text: str) -> BoolQuery:
+_FIELDED = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(\S+)$")
+
+
+def parse_boolean_query(
+    text: str, fields: tuple[str, ...] = ()
+) -> BoolQuery:
     """OR-of-AND-clauses with NOT'd factors. Factors are analyzed exactly
     like parse_query (lowercase \\w+, stopwords and len<2 dropped — a
     negated stopword therefore vanishes, matching Whoosh's analyzer-first
-    behavior); quoted phrases are factors too."""
+    behavior); quoted phrases are factors too. A `field:value` token whose
+    field is in `fields` becomes a fielded exact-match factor (Whoosh
+    fielded syntax); unknown-field tokens fall back to plain term
+    analysis of the whole token, like Whoosh's default-field behavior."""
     clauses: list[BoolClause] = []
     cur = BoolClause()
     negate = False
@@ -180,6 +190,11 @@ def parse_boolean_query(text: str) -> BoolQuery:
             continue
         if raw == "NOT":
             negate = True
+            continue
+        fm = _FIELDED.match(raw)
+        if fm and fm.group(1).lower() in fields:
+            cur.fielded.append((fm.group(1).lower(), fm.group(2).lower(), negate))
+            negate = False
             continue
         if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
             ph = raw[1:-1].strip().lower()
@@ -201,10 +216,18 @@ def parse_boolean_query(text: str) -> BoolQuery:
 def _clause_matches(docs, postings, clause, text_col, id_col):
     """doc_id frame matching one clause: AND over positive factors, then
     negated factors removed FROM THE CANDIDATES (negation never scans the
-    corpus when the clause has positive factors)."""
+    corpus when the clause has positive factors). Fielded factors are
+    exact lowercase matches on their column — pure pushdown-able filters
+    applied to the docs side before anything else."""
     spark = docs.sparkSession
     import pandas as pd
 
+    if clause.fielded:
+        cond = F.lit(True)
+        for fld, val, neg in clause.fielded:
+            eq = F.lower(F.col(fld).cast("string")) == val
+            cond = cond & (~eq if neg else eq)
+        docs = docs.filter(cond)
     if clause.terms:
         q = spark.createDataFrame(pd.DataFrame({"token": sorted(set(clause.terms))}))
         matched = (
@@ -214,6 +237,10 @@ def _clause_matches(docs, postings, clause, text_col, id_col):
             .filter(F.col("_nt") == len(set(clause.terms)))
             .select("doc_id")
         )
+        if clause.fielded:
+            matched = matched.join(
+                docs.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            )
     else:
         matched = docs.select(F.col(id_col).alias("doc_id"))
     pos_pats = [p for p in (phrase_regex(ph) for ph in clause.phrases) if p]
@@ -246,12 +273,13 @@ def search_boolean(
     id_col: str = "doc_id",
     top_k: int = 10,
     postings: DataFrame | None = None,
+    fields: tuple[str, ...] = (),
 ) -> DataFrame:
     """Boolean sparse search: OR/NOT extension of search_text. Matching is
     the union of clause matches; ranking is BM25 over every POSITIVE
     analyzed term/phrase-word in the query (Whoosh's scoring shape — NOT
     factors filter, they never score). Returns (doc_id, score)."""
-    bq = parse_boolean_query(query)
+    bq = parse_boolean_query(query, fields=fields)
     if postings is None:
         postings = build_bm25_postings(docs, text_col, id_col)
     if not bq.clauses:

@@ -60,3 +60,40 @@ def parsed_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return search_boolean(docs, _BOOL_QUERY, "text", "doc_id", top_k=10)
+
+
+# fielded syntax: field:value factors over real metadata columns — the
+# last Whoosh-parser breadth gap (fields analyzed as exact lowercase
+# matches, negatable, composing with terms/OR exactly like Whoosh)
+_FIELDED_QUERY = "lang:en batch NOT source:src3 OR scan"
+
+_FIELDED_ORACLE = f"""
+WITH {_BM25_CTES},
+c1 AS (
+  SELECT DISTINCT tf.doc_id FROM tf
+  JOIN documents d USING (doc_id)
+  WHERE token = 'batch'
+    AND lower(d.lang) = 'en' AND NOT lower(d.source) = 'src3'
+),
+c2 AS (SELECT DISTINCT doc_id FROM tf WHERE token = 'scan'),
+matched AS (SELECT doc_id FROM c1 UNION SELECT doc_id FROM c2)
+SELECT tf.doc_id,
+       CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+WHERE token IN ('batch', 'scan')
+  AND tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("parsed_search_fielded_x", _FIELDED_ORACLE)
+def parsed_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.queryparse import search_boolean
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_boolean(
+        docs, _FIELDED_QUERY, "text", "doc_id", top_k=10,
+        fields=("lang", "source"),
+    )

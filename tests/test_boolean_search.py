@@ -59,3 +59,18 @@ def test_analyzer_applies_to_negation():
     bq = parse_boolean_query("batch NOT the")  # negated stopword vanishes
     assert bq.clauses[0].terms == ["batch"]
     assert bq.clauses[0].not_terms == []
+
+
+def test_fielded_terms(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["batch run", "batch run", "batch run", "scanner"],
+        "lang": ["en", "de", "en", "en"],
+        "src": ["a", "a", "b", "a"],
+    }))
+    got = _ids(search_boolean(docs, "lang:en batch NOT src:b",
+                              fields=("lang", "src")))
+    assert got == [1]  # doc2 wrong lang, doc3 excluded src, doc4 no 'batch'
+    # unknown field falls back to plain-term analysis of the token
+    fallback = _ids(search_boolean(docs, "missing:x batch", fields=()))
+    assert fallback == []  # 'missing'/'x' become required terms nobody has
