@@ -105,6 +105,8 @@ HEADLINE = [
     "training_pipeline_x",
     "warc_parse_x",
     "parsed_search_boolean_x",
+    "parsed_search_fielded_x",
+    "bpe_word_freqs_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -136,6 +136,7 @@ CHECKS = {
     # --- boolean search: clause matches are broadcast term joins, the
     # final rank one top-k — no product anywhere in the OR/NOT machinery
     "parsed_search_boolean_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    "parsed_search_fielded_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
 }
 
 
