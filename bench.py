@@ -107,6 +107,7 @@ HEADLINE = [
     "parsed_search_boolean_x",
     "parsed_search_fielded_x",
     "bpe_word_freqs_x",
+    "host_components_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -81,6 +81,7 @@ _DRIVER_WINDOW = [
     "parsed_search_boolean_x",
     "bpe_word_freqs_x",
     "parsed_search_fielded_x",
+    "host_components_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
@@ -95,7 +96,6 @@ _DRIVER_WINDOW = [
     "ann_multiprobe_exact",
     "corpus_stats",
     "source_checksums",
-    "regex_extract_snippets",
     "lang_id",
     "quality_scores",
     "token_counts_by_lang",

@@ -126,3 +126,43 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, src="src_host", dst="dst_host", damping=0.85, iters=_HOST_PR_ITERS
     ).select(F.col("node").alias("host"), "rank")
+
+
+# web-graph connected components: the distributed large-star/small-star
+# loop (operators/components.py — the same machinery that canonicalizes
+# KG aliases) over the host graph, vs a DuckDB RECURSIVE-CTE fixpoint —
+# the "which sites form one connected web neighborhood" rollup that
+# complements degrees/PageRank.
+_HOST_CC_ORACLE = f"""
+WITH RECURSIVE {_LINKS_CTES},
+ed AS (
+  SELECT DISTINCT src_host AS src, dst_host AS dst
+  FROM a
+  WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
+),
+und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+reach(node, lbl) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node AS host, min(lbl) AS component
+FROM reach GROUP BY node
+ORDER BY host
+"""
+
+
+@_q("host_components_x", _HOST_CC_ORACLE)
+def host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, component) with component = min reachable host — the
+    distributed star-contraction loop hash-equals the serial recursive
+    fixpoint."""
+    from darkbo_spark.operators.components import connected_components
+    from darkbo_spark.operators.linkgraph import extract_links, host_edges
+
+    edges = host_edges(extract_links(_pages(spark, sf_dir))).select(
+        "src_host", "dst_host"
+    )
+    return connected_components(edges, "src_host", "dst_host").select(
+        F.col("node").alias("host"), F.col("comp").alias("component")
+    )
