@@ -36,6 +36,7 @@ import darkbo_spark.queries.pipeline_queries  # noqa: E402,F401
 import darkbo_spark.queries.warc_queries  # noqa: E402,F401
 import darkbo_spark.queries.boolean_queries  # noqa: E402,F401
 import darkbo_spark.queries.tokenizer_queries  # noqa: E402,F401
+import darkbo_spark.queries.quality_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
@@ -82,12 +83,12 @@ _DRIVER_WINDOW = [
     "bpe_word_freqs_x",
     "parsed_search_fielded_x",
     "host_components_x",
+    "quality_percentile_filter_x",
     # -- tier 2: last green driver row is r1 --
     "content_ids",
     "route_queries",
     "title_derivation",
     # -- tier 2: last green driver row is r3 --
-    "upsert_created_updated",
     "customers_without_recent_orders",
     "customers_with_orders",
     "tfidf_topk",
