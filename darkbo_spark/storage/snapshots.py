@@ -73,6 +73,16 @@ class SnapshotTable:
         cur = self.current()
         if cur and cur.get("fingerprint") == fingerprint:
             return cur["version"]
+        return self._write_version(df, fingerprint, partition_by, extra_meta)
+
+    def _write_version(
+        self,
+        df: DataFrame,
+        fingerprint: str,
+        partition_by: Optional[list[str]] = None,
+        extra_meta: Optional[dict] = None,
+    ) -> str:
+        cur = self.current()
         # next seq = 1 + max over ALL committed versions, not just the
         # pointer: a publish that crashed between the meta.json commit
         # marker and the pointer swap leaves a committed-looking orphan
@@ -92,6 +102,7 @@ class SnapshotTable:
             "seq": seq,
             "fingerprint": fingerprint,
             "wall_s": round(time.time() - t0, 3),
+            "partition_by": list(partition_by or []),
             **(extra_meta or {}),
         }
         # meta.json written last = commit marker (crash before this → version
@@ -104,6 +115,43 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(vdir, "meta.json"))
         self._swap_pointer({"version": version, "seq": seq, "fingerprint": fingerprint})
         return version
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int = 1) -> str:
+        """Rewrite the CURRENT version's data into well-sized files as a
+        NEW version with the SAME fingerprint (the content identity is
+        unchanged — only physical layout). Partitioned tables repartition
+        on their partition columns (one file per partition dir — the
+        file-count hygiene partitioned writes need); unpartitioned tables
+        coalesce to `target_files`. The fragmented version stays
+        time-travelable until retention expires it; readers atomically
+        switch at the pointer swap (Iceberg analog: rewrite_data_files).
+        Callers coordinating with concurrent publishers should hold the
+        table's BuildLock, same as any publish."""
+        cur = self.current()
+        if cur is None:
+            raise FileNotFoundError(f"no current version for table {self.name}")
+        meta = next(m for m in self.versions() if m["version"] == cur["version"])
+        pb = meta.get("partition_by") or None
+        df = self.read(spark)
+        df = df.repartition(*pb) if pb else df.repartition(target_files)
+        # cut lineage: the new version's write must not depend on files a
+        # concurrent expire() of old versions could remove mid-job
+        df = df.localCheckpoint(eager=True)
+        return self._write_version(
+            df, cur["fingerprint"], pb, {"compacted_from": cur["version"]}
+        )
+
+    def data_files(self) -> list[str]:
+        """Parquet data files of the current version (compaction metric)."""
+        base = self.data_path()
+        out = []
+        for root, _dirs, files in os.walk(base):
+            out.extend(
+                os.path.join(root, f) for f in files
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return sorted(out)
 
     # -- read ---------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:

@@ -154,3 +154,34 @@ def test_stored_table_recovers_from_crashed_publisher(spark, tmp_path, monkeypat
     wall = _time.time() - t0
     assert table.read(spark).count() == 2  # waiter took over and published
     assert wall < 30.0, f"crashed-publisher recovery took {wall:.1f}s"
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "cmp1")
+    df = spark.createDataFrame(pd.DataFrame({"x": range(100)})).repartition(8)
+    t.publish(df, "fp_c")
+    assert len(t.data_files()) > 1
+    v2 = t.compact(spark, target_files=1)
+    assert len(t.data_files()) == 1          # physical layout fixed
+    assert t.current_fingerprint() == "fp_c"  # content identity unchanged
+    assert sorted(r.x for r in t.read(spark).collect()) == list(range(100))
+    metas = t.versions()
+    assert [m["fingerprint"] for m in metas] == ["fp_c", "fp_c"]
+    assert metas[-1]["compacted_from"] == metas[0]["version"]
+    assert t.read_version(spark, 1).count() == 100  # old version time-travels
+    # a fingerprint-matching publish after compaction still skips
+    assert t.publish(df, "fp_c") == v2
+
+
+def test_compact_partitioned_one_file_per_dir(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "cmp2")
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [i % 3 for i in range(90)], "x": range(90)})
+    ).repartition(8)
+    t.publish(df, "fp_p", partition_by=["k"])
+    assert len(t.data_files()) > 3  # slivers: many files across 3 dirs
+    t.compact(spark)
+    files = t.data_files()
+    assert len(files) == 3  # exactly one per partition dir
+    assert {f.split("k=")[1][0] for f in files} == {"0", "1", "2"}
+    assert t.read(spark).count() == 90
