@@ -197,20 +197,41 @@ def main() -> int:
     shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "kg_pages": KG_PAGES,
-                "kg_docs_per_sec": round(KG_PAGES / kg_wall, 2),
-                "cpus": cpus,
-            }
-        )
+    detail = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_pages": KG_PAGES,
+        "kg_docs_per_sec": round(KG_PAGES / kg_wall, 2),
+        "cpus": cpus,
+    }
+    # Per-query detail goes to a file and an EARLIER stdout line; the LAST
+    # line is a compact headline object. The driver parses a bounded tail of
+    # stdout, so the final line must stay small (round-5 lesson: the full
+    # ~80-query detail line outgrew the tail window and the round's headline
+    # number was lost).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
     )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {"kg_pipeline": timings["kg_pipeline"]},
+        "n_queries": len(timings),
+        "kg_pages": KG_PAGES,
+        "kg_docs_per_sec": detail["kg_docs_per_sec"],
+        "cpus": cpus,
+        "detail_file": "BENCH/last_run.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
     return 0
 
