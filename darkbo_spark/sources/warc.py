@@ -1,9 +1,10 @@
 """Dependency-free WARC source — the actual container Common Crawl ships
 (ISO 28500): concatenated records of `WARC/1.0` header blocks + raw
-payloads. This closes the last gap between the pipeline's pages-table
-input_hint shape (url, warc_ts, html, text, lang) and a real crawl dump:
-`read_warc` → `pages_from_warc` → `kg.pipeline.run_pipeline` is the
-production ingestion path.
+payloads, either plain `.warc` or `.warc.gz` (one gzip member per record,
+members concatenated — the CC dump layout). This closes the last gap
+between the pipeline's pages-table input_hint shape (url, warc_ts, html,
+text, lang) and a real crawl dump: `read_warc` → `pages_from_warc` →
+`kg.pipeline.run_pipeline` is the production ingestion path.
 
 Parsing is byte-exact and streaming-friendly:
 * records are located by their header blocks and sliced by
@@ -11,9 +12,14 @@ Parsing is byte-exact and streaming-friendly:
   are untrusted bytes that may contain anything, including `WARC/1.0`);
 * `response` records carry an HTTP envelope; the entity body starts
   after the first CRLFCRLF of the HTTP block;
-* malformed tails (truncated final record) are dropped with a counted
-  warning row rather than raising — a 100 TB crawl ALWAYS contains a few
-  torn records and one bad byte must not kill a stage.
+* malformed tails (truncated final record, torn trailing gzip member)
+  are dropped with a counted warning row rather than raising — a 100 TB
+  crawl ALWAYS contains a few torn records and one bad byte must not
+  kill a stage;
+* gzip decode is stdlib `zlib` multi-member (gunzip_members): each
+  member decompresses independently, so a torn final member costs only
+  that record — and per-record members mean the decode loop's working
+  set is one record, never the whole file.
 
 Scale shape: Spark's binaryFile source distributes whole .warc members
 across executors (Common Crawl segments its dumps into ~1 GB files —
@@ -23,7 +29,9 @@ mid-file by any engine); per-file parsing is one pass, zero shuffle.
 
 from __future__ import annotations
 
+import gzip
 import re
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +100,41 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
         pos = body_start + length
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decode concatenated gzip members (the .warc.gz layout: Common
+    Crawl writes ONE gzip member PER RECORD, members back to back; a
+    whole-file single stream is the one-member special case). Tolerant:
+    a torn/corrupt trailing member is dropped — its partial bytes never
+    reach the record parser, so a torn .gz tail degrades exactly like a
+    torn .warc tail (record skipped, stage survives)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            chunk = d.decompress(data[pos:]) + d.flush()
+        except zlib.error:
+            break  # corrupt member — drop it and everything after
+        if not d.eof:
+            break  # truncated final member at EOF
+        out.append(chunk)
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def maybe_gunzip(data: bytes) -> bytes:
+    """Transparent container sniff: gunzip .warc.gz bytes, pass plain
+    .warc bytes through untouched."""
+    return gunzip_members(data) if data[:2] == GZIP_MAGIC else data
+
+
 def http_body(payload: bytes) -> bytes:
     """Entity body of an HTTP response payload (bytes after the first
     CRLFCRLF); the whole payload when no HTTP envelope is present."""
@@ -99,25 +142,40 @@ def http_body(payload: bytes) -> bytes:
     return payload[m.end() :] if m else payload
 
 
+def _record_bytes(r: dict) -> bytes:
+    payload = r["payload"]
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {r.get('rec_type', 'response')}\r\n"
+        f"WARC-Target-URI: {r.get('url', '')}\r\n"
+        f"WARC-Date: {r.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii")
+    return hdr + payload + b"\r\n\r\n"
+
+
 def write_warc(records: list[dict], path: str) -> None:
     """Serialize records (url, warc_date, rec_type, payload) into one
     WARC member — the test fixture writer (round-trips parse_warc_bytes)."""
     with open(path, "wb") as f:
         for r in records:
-            payload = r["payload"]
-            hdr = (
-                f"WARC/1.0\r\n"
-                f"WARC-Type: {r.get('rec_type', 'response')}\r\n"
-                f"WARC-Target-URI: {r.get('url', '')}\r\n"
-                f"WARC-Date: {r.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"
-                f"Content-Length: {len(payload)}\r\n\r\n"
-            ).encode("ascii")
-            f.write(hdr + payload + b"\r\n\r\n")
+            f.write(_record_bytes(r))
+
+
+def write_warc_gz(records: list[dict], path: str) -> None:
+    """Serialize records in the Common Crawl .warc.gz layout: one gzip
+    member per record, members concatenated (mtime pinned for
+    deterministic fixture bytes)."""
+    with open(path, "wb") as f:
+        for r in records:
+            f.write(gzip.compress(_record_bytes(r), mtime=0))
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC scan: binaryFile (one task per member file) →
-    mapInPandas record parse. Returns WARC_RECORD_SCHEMA rows."""
+    mapInPandas record parse, gunzipping .warc.gz files transparently
+    (magic-sniffed per file, not by extension — CC mirrors sometimes
+    rename). Returns WARC_RECORD_SCHEMA rows."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("content")
@@ -126,7 +184,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                rows.extend(parse_warc_bytes(bytes(content)))
+                rows.extend(parse_warc_bytes(maybe_gunzip(bytes(content))))
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_date", "rec_type", "content_length", "payload"],

@@ -66,3 +66,78 @@ def test_cap_salt_invariance(spark):
 def test_cap_small_domains_untouched(spark):
     docs = _skewed(spark, n=50, head_frac=0.0)  # every domain below k
     assert cap_per_domain(docs, k=10).count() == 50
+
+
+# PSL official test vectors (publicsuffix.org test_psl.txt style) for the
+# rule classes the vendored subset carries: exact multi-level, wildcard
+# *.X, exception !Y, 4-label exact (pvt.k12.ma.us), and the default rule.
+_PSL_CASES = [
+    ("www.example.com", "example.com"),            # default rule
+    ("deep.sub.tree.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("com", "com"),                                # host IS a suffix
+    ("a.b.news.co.uk", "news.co.uk"),              # exact level-2
+    ("co.uk", "co.uk"),
+    ("deep.sub.school.sch.uk", "sub.school.sch.uk"),  # *.sch.uk → ps level 3
+    ("www.foo.ck", "www.foo.ck"),                  # *.ck → foo.ck is a ps
+    ("a.www.foo.ck", "www.foo.ck"),
+    ("www.ck", "www.ck"),                          # !www.ck → ps = ck
+    ("x.www.ck", "www.ck"),
+    ("city.kobe.jp", "city.kobe.jp"),              # !city.kobe.jp → ps = kobe.jp
+    ("w.city.kobe.jp", "city.kobe.jp"),
+    ("shop.foo.kobe.jp", "shop.foo.kobe.jp"),      # *.kobe.jp → foo.kobe.jp is a ps
+    ("school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),  # 4-label exact rule
+    ("w.school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+    ("district.k12.ca.us", "district.k12.ca.us"),  # 3-label exact rule
+    ("w.district.k12.ca.us", "district.k12.ca.us"),
+    ("site.gouv.fr", "site.gouv.fr"),
+    ("x.site.gouv.fr", "site.gouv.fr"),
+]
+
+
+def test_psl_semantics_spark_and_sql_twins(spark):
+    """Wildcards, exceptions, longest-match, default rule — Spark column
+    and DuckDB twin agree with the PSL spec on every case."""
+    import duckdb
+
+    from darkbo_spark.operators.domains import sql_registered_domain
+
+    df = spark.createDataFrame(pd.DataFrame(_PSL_CASES, columns=["host", "want"]))
+    for r in df.select(
+        "host", "want", registered_domain(F.col("host")).alias("got")
+    ).collect():
+        assert r.got == r.want, f"spark: {r.host} -> {r.got} != {r.want}"
+    con = duckdb.connect()
+    expr = sql_registered_domain("host")
+    for host, want in _PSL_CASES:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS host)", [host]
+        ).fetchone()[0]
+        assert got == want, f"duckdb: {host} -> {got} != {want}"
+
+
+def test_psl_file_seam(tmp_path, monkeypatch):
+    """DARKBO_PSL_FILE drops in an upstream-format file: rules from the
+    override replace the vendored subset entirely."""
+    from darkbo_spark.operators import domains
+
+    p = tmp_path / "mini_psl.dat"
+    p.write_text(
+        "// upstream format\ncom\n*.custom\n!keep.custom\nspecial.test\n"
+    )
+    monkeypatch.setenv("DARKBO_PSL_FILE", str(p))
+    rules = domains.load_rules()
+    assert rules.exact == {2: frozenset({"special.test"})}
+    assert rules.wildcard == {1: frozenset({"custom"})}
+    assert rules.exception == {2: frozenset({"keep.custom"})}
+
+
+def test_psl_parser_tolerates_upstream_noise():
+    from darkbo_spark.operators.domains import parse_psl
+
+    rules = parse_psl(
+        "// comment\n\n  co.uk  \n*.ck\n!www.ck\n*\nuk\n"
+    )
+    assert rules.exact == {2: frozenset({"co.uk"})}  # '*' and 'uk' dropped
+    assert rules.wildcard == {1: frozenset({"ck"})}
+    assert rules.exception == {2: frozenset({"www.ck"})}
