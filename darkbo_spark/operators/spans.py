@@ -36,10 +36,26 @@ Makes Language Models Better" substring dedup, re-expressed relationally):
 Scale notes: stage 2's fingerprint groupBy is map-side-combinable and the
 only corpus-wide shuffle; span merge shuffles (doc_id, pos) pairs of
 DUPLICATE windows only (tiny vs the corpus); trim is a per-doc join on
-doc_id. No step is quadratic in anything. Works on the lowercased
-whitespace token stream (the dedup family's shared tokenization); a
-byte-faithful production trim would carry the windows' byte offsets
-through the same plan.
+doc_id. No step is quadratic in anything.
+
+Two trim fidelities:
+
+* `trim_duplicate_spans` — the dedup family's normalized form: lowercased
+  space-split token stream, single-space rejoin (cheap, matches the
+  family's fingerprints, but untouched documents come back
+  space-normalized).
+* `trim_spans_exact` (tokenizer="ws" spans) — BYTE-FAITHFUL: documents no
+  span touches are returned byte-identical, and a trim is an exact byte
+  excision of each span. Rather than carrying byte offsets through a UDF,
+  it exploits the unique decomposition text = lead_ws · tok_0 · sep_0 ·
+  tok_1 · … (maximal \\S+ / \\s+ runs): excising the bytes of a merged
+  span [a, b) removes exactly tokens a..b-1 and the separators STRICTLY
+  BETWEEN them (sep_{a-1} before and sep_{b-1} after survive; merged
+  spans are maximal, so two covered neighbors always share a span), so
+  rebuilding lead_ws + Σ(kept tok_i + kept sep_i) IS the byte excision —
+  zero UDF, pure codegen expressions, and DuckDB replays it exactly
+  (pinned byte-for-byte against a Python offset-slicing reference on
+  multibyte UTF-8 in tests/test_spans.py).
 """
 
 from __future__ import annotations
@@ -57,20 +73,36 @@ def _toks(text_col: str) -> F.Column:
     return F.array_remove(F.split(F.lower(F.col(text_col)), " +"), "")
 
 
+def _ws_toks(text_col: str) -> F.Column:
+    # byte-faithful family: maximal \S+ runs of the ORIGINAL text (tabs
+    # and newlines separate too); lowercasing happens only inside the
+    # fingerprint hash, never on the reconstruction path
+    return F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+
+
+def _tokens_for(text_col: str, tokenizer: str) -> F.Column:
+    if tokenizer == "space":
+        return _toks(text_col)
+    if tokenizer == "ws":
+        return F.transform(_ws_toks(text_col), lambda x: F.lower(x))
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
 def window_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
     hash_mode: str = "fast",
+    tokenizer: str = "space",
 ) -> DataFrame:
     """(doc_id, pos, fp): the hash of every n-token window, with its
     0-based token position. Documents shorter than n tokens have no
     windows. Native slide (transform + slice + concat_ws) → posexplode;
     the shuffle payload downstream is the 8-byte fp, not the string."""
-    base = df.select(F.col(id_col).alias("doc_id"), _toks(text_col).alias("_t")).filter(
-        F.size("_t") >= n
-    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _tokens_for(text_col, tokenizer).alias("_t")
+    ).filter(F.size("_t") >= n)
     fps = F.transform(
         F.sequence(F.lit(0), F.size("_t") - n),
         lambda i: _token_hash(F.concat_ws(" ", F.slice("_t", i + 1, n)), hash_mode),
@@ -87,14 +119,17 @@ def duplicate_spans(
     max_docs_per_fp: int | None = None,
     keep_first: bool = False,
     hash_mode: str = "fast",
+    tokenizer: str = "space",
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows): maximal duplicate token
     ranges [span_start, span_end) per document — every merged run of
     n-token windows whose fingerprint appears in >= min_docs distinct
     documents. keep_first=True exempts the corpus-wide first occurrence of
     each fingerprint (min (doc_id, pos)), the retention rule a trim needs
-    to keep exactly one copy of duplicated content."""
-    wf = window_fingerprints(df, text_col, id_col, n, hash_mode)
+    to keep exactly one copy of duplicated content. tokenizer="ws" uses
+    the byte-faithful family's \\S+ token positions (feed those spans to
+    trim_spans_exact)."""
+    wf = window_fingerprints(df, text_col, id_col, n, hash_mode, tokenizer)
     fam = wf.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("_nd"),
         F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
@@ -157,3 +192,64 @@ def trim_duplicate_spans(
         ),
     )
     return base.select("doc_id", F.array_join(kept, " ").alias("text"))
+
+
+def trim_spans_exact(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text): BYTE-FAITHFUL span excision. Documents no span
+    touches return byte-identical; a span [a, b) is removed as the exact
+    byte range [start of tok_a, end of tok_{b-1}) — surrounding
+    whitespace survives untouched. Expects spans from
+    duplicate_spans(tokenizer="ws") (positions index \\S+ runs of the
+    ORIGINAL text). See the module doc for why the lead/tok/sep
+    reconstruction equals byte-offset slicing. Zero UDF: the rebuild is
+    transform + get + concat inside codegen; per-row cost is linear in
+    token count, per-token span probe is over that DOC's few merged
+    spans only."""
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")).join(
+        sp, "doc_id", "left"
+    )
+    toks = _ws_toks("_txt")
+    seps = F.regexp_extract_all(F.col("_txt"), F.lit(r"\s+"), 0)
+    lead = F.regexp_extract(F.col("_txt"), r"^\s*", 0)
+    # seps[0] is the leading run when the text starts with whitespace —
+    # the separator AFTER tok_i is seps[i + lead_shift] (0-based F.get:
+    # NULL past the end, i.e. no trailing separator → '')
+    lead_shift = (F.length(lead) > 0).cast("int")
+    m = F.size(toks)
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+
+    def covered(i: F.Column) -> F.Column:
+        return F.exists(
+            spans_arr, lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+        )
+
+    def part(i: F.Column) -> F.Column:
+        tok = F.when(~covered(i), F.get(toks, i)).otherwise(F.lit(""))
+        # sep_i sits between tok_i and tok_{i+1}: excised only when both
+        # neighbors fall in the (same, maximal) span
+        sep = F.when(
+            ~(covered(i) & covered(i + 1)),
+            F.coalesce(F.get(seps, i + lead_shift), F.lit("")),
+        ).otherwise(F.lit(""))
+        return F.concat(tok, sep)
+
+    # sequence(0, -1) would generate a DESCENDING range — guard empty docs
+    rebuilt = F.concat(
+        lead,
+        F.when(
+            m > 0,
+            F.array_join(F.transform(F.sequence(F.lit(0), m - 1), part), ""),
+        ).otherwise(F.lit("")),
+    )
+    return base.select("doc_id", rebuilt.alias("text"))

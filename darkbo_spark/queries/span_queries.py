@@ -64,7 +64,11 @@ _SPAN_CORPUS_SQL = f"""
 """
 
 
-def _span_ctes(keep_first: bool) -> str:
+def _span_ctes(
+    keep_first: bool,
+    corpus_sql: str = None,  # defaults to _SPAN_CORPUS_SQL below
+    tokenizer: str = "space",
+) -> str:
     """CTE block ending in `spans` — shared by the spans oracle and the
     trim oracle so span derivation can never diverge between them. Mirrors
     operators/spans.py stage for stage: window fingerprints (md5-60 over
@@ -72,15 +76,24 @@ def _span_ctes(keep_first: bool) -> str:
     struct first occurrence, optional first-occurrence exemption, and the
     lag/flag/running-sum merge of adjacent windows."""
     n = _SPAN_N
+    corpus_sql = corpus_sql or _SPAN_CORPUS_SQL
     keep_sql = (
         "\n    AND NOT (w.doc_id = struct_extract(fam.first_occ, 'd')"
         " AND w.pos = struct_extract(fam.first_occ, 'p'))"
         if keep_first
         else ""
     )
-    return f"""corpus AS (SELECT doc_id, text FROM {_SPAN_CORPUS_SQL} c),
+    if tokenizer == "space":
+        toks_expr = "list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')"
+    elif tokenizer == "ws":
+        # byte-faithful family: positions index \S+ runs of the ORIGINAL
+        # text; lowercasing happens only inside the fingerprint string
+        toks_expr = r"list_transform(regexp_extract_all(text, '\S+'), t -> lower(t))"
+    else:  # pragma: no cover - registration-time constant
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    return f"""corpus AS (SELECT doc_id, text FROM {corpus_sql} c),
 dtoks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+  SELECT doc_id, {toks_expr} AS toks
   FROM corpus
 ),
 wf AS (
@@ -192,3 +205,124 @@ def dup_span_trim_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode="portable",
     )
     return trim_duplicate_spans(corpus, spans)
+
+
+# ---------------------------------------------------------------------------
+# byte-faithful trim (trim_spans_exact over tokenizer="ws" spans)
+# ---------------------------------------------------------------------------
+# The parquet documents are single-spaced lowercase ASCII, which would make
+# a byte-fidelity oracle vacuous — so both engines derive the SAME "messy"
+# corpus first (deterministic replaces injecting case, tabs, newlines,
+# double spaces, and leading whitespace), then plant the case-preserving
+# boilerplate prefix. Byte fidelity is then load-bearing: the normalized
+# trim would hash-mismatch on every untouched document.
+
+
+def _span_corpus_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _SPAN_ID_LIMIT)
+        .select("doc_id", "text")
+    )
+    messy = F.replace(F.col("text"), F.lit(" the "), F.lit("\tThe  "))
+    messy = F.replace(messy, F.lit(" and "), F.lit("\n And "))
+    messy = F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("  "), messy)).otherwise(
+        messy
+    )
+    base = docs.select("doc_id", messy.alias("text"))
+    boiler = (
+        base.filter(F.col("doc_id") == 1)
+        .select(
+            F.array_join(
+                F.slice(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0), 1, 12),
+                " ",
+            ).alias("_boiler")
+        )
+    )
+    return base.crossJoin(F.broadcast(boiler)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat_ws(" ", F.col("_boiler"), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_BYTES_MESSY_SQL = (
+    "(CASE WHEN doc_id % 5 = 0 THEN '  ' ELSE '' END || "
+    "replace(replace(text, ' the ', chr(9) || 'The  '), "
+    "' and ', chr(10) || ' And '))"
+)
+
+_BYTES_CORPUS_SQL = f"""
+(WITH messy AS (
+   SELECT doc_id, {_BYTES_MESSY_SQL} AS text
+   FROM documents WHERE doc_id < {_SPAN_ID_LIMIT}
+ )
+ SELECT m.doc_id,
+        CASE WHEN m.doc_id % 7 = 0 THEN b.boiler || ' ' || m.text ELSE m.text END AS text
+ FROM messy m,
+      (SELECT array_to_string(list_slice(
+                regexp_extract_all(text, '\\S+'), 1, 12), ' ') AS boiler
+       FROM messy WHERE doc_id = 1) b)
+"""
+
+# covered(i): does any of this doc's spans contain token i (NULL-safe —
+# docs without spans carry a NULL list)
+def _covered(i: str) -> str:
+    return (
+        f"coalesce(len(list_filter(_sarr, "
+        f"r -> {i} >= r.span_start AND {i} < r.span_end)) > 0, FALSE)"
+    )
+
+
+_TRIM_BYTES_ORACLE = f"""
+WITH {_span_ctes(keep_first=True, corpus_sql=_BYTES_CORPUS_SQL, tokenizer="ws")},
+sp AS (
+  SELECT doc_id, list({{'span_start': span_start, 'span_end': span_end}}) AS sarr
+  FROM spans GROUP BY doc_id
+),
+parts AS (
+  SELECT c.doc_id,
+         regexp_extract_all(c.text, '\\S+') AS _toks,
+         regexp_extract_all(c.text, '\\s+') AS _seps,
+         coalesce(regexp_extract(c.text, '^\\s*'), '') AS _lead,
+         s.sarr AS _sarr
+  FROM corpus c LEFT JOIN sp s USING (doc_id)
+)
+SELECT doc_id,
+  _lead || array_to_string(
+    list_transform(range(0, len(_toks)), i ->
+      (CASE WHEN NOT {_covered("i")} THEN _toks[i + 1] ELSE '' END)
+      ||
+      (CASE WHEN NOT ({_covered("i")} AND {_covered("(i + 1)")})
+            THEN coalesce(_seps[i + 1 + (CASE WHEN len(_lead) > 0 THEN 1 ELSE 0 END)], '')
+            ELSE '' END)
+    ), '') AS text
+FROM parts
+ORDER BY doc_id
+"""
+
+
+@_q("dup_span_trim_bytes_x", _TRIM_BYTES_ORACLE)
+def dup_span_trim_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-FAITHFUL span trim hash-oracled end to end: spans derived over
+    \\S+ token positions of the original (messy) text, excised as exact
+    byte ranges via the lead/tok/sep decomposition — untouched documents
+    come back byte-identical (casing, tabs, runs of spaces all preserved),
+    and DuckDB reproduces every trimmed byte. Complements dup_span_trim_x
+    (the dedup family's normalized form)."""
+    from darkbo_spark.operators.spans import duplicate_spans, trim_spans_exact
+
+    corpus = _span_corpus_bytes(spark, sf_dir)
+    spans = duplicate_spans(
+        corpus,
+        n=_SPAN_N,
+        min_docs=2,
+        max_docs_per_fp=_SPAN_FP_CAP,
+        keep_first=True,
+        hash_mode="portable",
+        tokenizer="ws",
+    )
+    return trim_spans_exact(corpus, spans)

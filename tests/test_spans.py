@@ -123,3 +123,101 @@ def test_plan_has_no_cartesian_or_nested_loop(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# byte-faithful trim (trim_spans_exact + tokenizer="ws" spans)
+# ---------------------------------------------------------------------------
+
+import re
+
+from darkbo_spark.operators.spans import trim_spans_exact
+
+# Java \S (Spark's regex engine) — ASCII whitespace complement
+_JTOK = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+
+def _ref_trim_bytes(text: str, spans: list[tuple[int, int]]) -> str:
+    """Offset-slicing reference: excise the byte range [start of tok_a,
+    end of tok_{b-1}) for each token span [a, b)."""
+    toks = [(m.start(), m.end()) for m in _JTOK.finditer(text)]
+    cuts = sorted((toks[a][0], toks[b - 1][1]) for a, b in spans)
+    out, prev = [], 0
+    for s, e in cuts:
+        out.append(text[prev:s])
+        prev = e
+    out.append(text[prev:])
+    return "".join(out)
+
+
+def _exact_corpus(spark):
+    # preserved case, tabs/newlines/double spaces, leading whitespace,
+    # multibyte UTF-8 tokens — everything the normalized trim destroys
+    header = "LICENSE Héader: Αll rights\treserved by Exämple Corp 名前 GmbH"  # 10 toks
+    rows = [
+        (0, f"{header}\n\nBody züro  with\tsome filler tokens here now ok fine"),
+        (1, f"  {header} body-öne unique tail words appear only here today yes"),
+        (2, f"\t{header}\r\nbody two's DIFFERENT tail £set of unique words here"),
+        (3, "No boilerplate at ALL — this döcument\tmust come back byte-identical\n"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_trim_exact_untouched_docs_byte_identical(spark):
+    df = _exact_corpus(spark)
+    spans = duplicate_spans(
+        df, n=8, min_docs=2, keep_first=True, hash_mode="portable", tokenizer="ws"
+    )
+    got = {r.doc_id: r.text for r in trim_spans_exact(df, spans).collect()}
+    orig = {r.doc_id: r.text for r in df.collect()}
+    # doc 3 shares nothing; doc 0 holds the exempt first occurrence of the
+    # header — if no other window of doc 0 duplicates, it's untouched too
+    span_docs = {r.doc_id for r in spans.collect()}
+    for d in orig:
+        if d not in span_docs:
+            assert got[d] == orig[d], f"doc {d} not byte-identical"
+    assert 3 not in span_docs
+
+
+def test_trim_exact_matches_offset_slicing_reference(spark):
+    df = _exact_corpus(spark)
+    spans_df = duplicate_spans(
+        df, n=8, min_docs=2, keep_first=True, hash_mode="portable", tokenizer="ws"
+    )
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans_df.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert by_doc, "expected planted header spans"
+    got = {r.doc_id: r.text for r in trim_spans_exact(df, spans_df).collect()}
+    for r in df.collect():
+        want = _ref_trim_bytes(r.text, by_doc.get(r.doc_id, []))
+        assert got[r.doc_id] == want, f"doc {r.doc_id}: {got[r.doc_id]!r} != {want!r}"
+        # byte-level, not just str equality
+        assert got[r.doc_id].encode("utf-8") == want.encode("utf-8")
+
+
+def test_trim_exact_mid_doc_and_multiple_spans(spark):
+    # hand-built spans (not derived) pin the excision geometry itself:
+    # mid-document span keeps surrounding whitespace; two spans in one doc
+    text = "aa  bb\tcc dd\nee ff gg  hh ii jj"
+    df = spark.createDataFrame(pd.DataFrame([(0, text)], columns=["doc_id", "text"]))
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 2, 4), (0, 7, 9)], columns=["doc_id", "span_start", "span_end"]
+        )
+    )
+    got = trim_spans_exact(df, spans).collect()[0].text
+    assert got == _ref_trim_bytes(text, [(2, 4), (7, 9)])
+    # spot-check the actual bytes: cc..dd and hh..ii excised, seps around kept
+    # seps on BOTH sides of an excised span survive: "gg  " + " jj"
+    assert got == "aa  bb\t\nee ff gg   jj"
+
+
+def test_trim_exact_full_doc_span(spark):
+    text = "  x y z  "
+    df = spark.createDataFrame(pd.DataFrame([(0, text)], columns=["doc_id", "text"]))
+    spans = spark.createDataFrame(
+        pd.DataFrame([(0, 0, 3)], columns=["doc_id", "span_start", "span_end"])
+    )
+    got = trim_spans_exact(df, spans).collect()[0].text
+    assert got == _ref_trim_bytes(text, [(0, 3)]) == "    "
