@@ -186,6 +186,18 @@ def main() -> int:
             serves.append(time.time() - t0)
         timings[f"{name}_serve"] = round(sorted(serves)[1], 3)
 
+    # boolean/fielded stored flavors serve from the SAME published
+    # bm25_postings table the loop above just built cold — their build
+    # cost IS parsed_search_stored_build, so only warm serves are timed
+    for name in ("parsed_search_boolean_stored", "parsed_search_fielded_stored"):
+        fn = qs[name]
+        serves = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            serves.append(time.time() - t0)
+        timings[f"{name}_serve"] = round(sorted(serves)[1], 3)
+
     # KG pipeline end-to-end (fresh dir -> no fingerprint skip)
     from darkbo_spark.kg.pipeline import run_pipeline
 

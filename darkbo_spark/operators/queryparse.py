@@ -213,6 +213,25 @@ def parse_boolean_query(
     return BoolQuery(clauses=[c for c in clauses if c.has_positive() or c.not_terms or c.not_phrases])
 
 
+def boolean_query_tokens(bq: BoolQuery) -> set[str]:
+    """Every token a boolean search touches in the POSTINGS table —
+    positive terms (AND match), negated terms (the has-negative anti-join
+    probe), and the analyzed words of positive phrases (BM25 ranking).
+    Phrases match via docs-side regex and fielded factors via docs
+    columns, so neither adds postings tokens beyond ranking words. This
+    is the partition-pruning key set for stored serving: a stored-index
+    scan can drop every token bucket outside this set."""
+    toks: set[str] = set()
+    for c in bq.clauses:
+        toks.update(c.terms)
+        toks.update(c.not_terms)
+        for ph in c.phrases:
+            toks.update(
+                w for w in _WORD.findall(ph) if len(w) >= 2 and w not in STOP_WORDS
+            )
+    return toks
+
+
 def _clause_matches(docs, postings, clause, text_col, id_col):
     """doc_id frame matching one clause: AND over positive factors, then
     negated factors removed FROM THE CANDIDATES (negation never scans the

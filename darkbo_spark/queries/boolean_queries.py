@@ -97,3 +97,51 @@ def parsed_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _FIELDED_QUERY, "text", "doc_id", top_k=10,
         fields=("lang", "source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STORED serving for boolean + fielded syntax — same published
+# bucket-partitioned postings SnapshotTable as parsed_search_stored
+# (build once, serve EVERY query flavor from the store; the inline forms
+# above rebuild postings per query, which is the self-contained twin, not
+# the production path — ref behavior: ai_worker.py:154-158 opens a stored
+# Whoosh index and never rebuilds). The serve scans only the token
+# buckets the query touches (PartitionFilters), so OR/NOT/fielded cost
+# the same handful of partitions the default-AND path pays.
+# ---------------------------------------------------------------------------
+
+
+@_q("parsed_search_boolean_stored", _BOOLEAN_ORACLE)
+def parsed_search_boolean_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean OR/NOT search served from the STORED sparse index: the
+    query's full postings token set (positive + negated + phrase rank
+    words) prunes the scan to its hash buckets; same oracle as the inline
+    form — store+serve+prune must lose nothing."""
+    from darkbo_spark.operators.queryparse import boolean_query_tokens, search_boolean
+    from darkbo_spark.queries.retrieval import stored_postings_for_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    stored = stored_postings_for_tokens(spark, sf_dir, boolean_query_tokens(_BQ))
+    return search_boolean(
+        docs, _BOOL_QUERY, "text", "doc_id", top_k=10, postings=stored
+    )
+
+
+_FQ = parse_boolean_query(_FIELDED_QUERY, fields=("lang", "source"))
+
+
+@_q("parsed_search_fielded_stored", _FIELDED_ORACLE)
+def parsed_search_fielded_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded search served from the STORED sparse index — fielded
+    factors filter the docs side (pushdown-able column predicates), the
+    postings scan prunes to the term buckets; hash-equal to the inline
+    fielded form."""
+    from darkbo_spark.operators.queryparse import boolean_query_tokens, search_boolean
+    from darkbo_spark.queries.retrieval import stored_postings_for_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    stored = stored_postings_for_tokens(spark, sf_dir, boolean_query_tokens(_FQ))
+    return search_boolean(
+        docs, _FIELDED_QUERY, "text", "doc_id", top_k=10,
+        postings=stored, fields=("lang", "source"),
+    )

@@ -272,29 +272,22 @@ def _tok_bucket_py(token: str) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % _POSTINGS_BUCKETS
 
 
-@_q("parsed_search_stored", _PARSED_ORACLE)
-def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13 end-to-end: the BM25 postings are MATERIALIZED once as a
-    published SnapshotTable version partitioned by token-hash bucket (the
-    production claim in docs/SCALE.md — build the sparse index once, serve
-    every query from the stored table), then the same raw-query search
-    runs against ONLY the stored partitions the query's terms hash into
-    (PartitionFilters pruning, gated in docs/PLANS.md). Same oracle as the
-    inline form — the driver hash proves store+serve+prune loses nothing.
-    Re-runs over the same corpus hit the fingerprint skip."""
-    from darkbo_spark.operators.queryparse import search_text
-    from darkbo_spark.operators.tfidf import build_bm25_postings
+def published_bm25_postings(spark: SparkSession, sf_dir: str):
+    """Build-or-reuse the S13 stored sparse index: BM25 postings published
+    once as a SnapshotTable version partitioned by token-hash bucket.
+    Every stored-serving search flavor (default-AND, boolean OR/NOT,
+    fielded) reads THIS one table — build once, serve many. Returns the
+    SnapshotTable (fingerprint-skipped when already fresh)."""
+    from darkbo_spark.operators.tfidf import _term_freq, build_bm25_postings
 
     docs = _t(spark, sf_dir, "documents")
     # the build persists its tf frame for the duration of the publish (dl,
     # df, and the weight join all derive from it — unpersisted, the corpus
     # is exploded 3-4x; measured 2.3x slower) and unpersists it right
     # after the write, so no dead cache entry outlives the one-off build
-    from darkbo_spark.operators.tfidf import _term_freq
-
     tf = _term_freq(docs, "text", "doc_id", persist=True)
     try:
-        table = _stored_table(
+        return _stored_table(
             sf_dir,
             "bm25_postings",
             "documents",
@@ -311,11 +304,34 @@ def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         tf.unpersist()  # publish-once build; leave no cache entry behind
-    # every postings use downstream joins against the query's term sets
-    # (AND match on _PARSED.terms, ranking on _RANK_TERMS), so rows outside
-    # those buckets can never join — prune them at the SCAN
-    need = sorted({_tok_bucket_py(t) for t in set(_PARSED.terms) | set(_RANK_TERMS)})
-    stored = table.read(spark).filter(F.col("tok_bucket").isin(need))
+
+
+def stored_postings_for_tokens(spark: SparkSession, sf_dir: str, tokens) -> DataFrame:
+    """Serve path: the published postings pruned at the SCAN to only the
+    partitions the query's token set hashes into (PartitionFilters —
+    every downstream postings use joins against these tokens, so rows
+    outside their buckets can never join)."""
+    table = published_bm25_postings(spark, sf_dir)
+    need = sorted({_tok_bucket_py(t) for t in set(tokens)})
+    return table.read(spark).filter(F.col("tok_bucket").isin(need))
+
+
+@_q("parsed_search_stored", _PARSED_ORACLE)
+def parsed_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 end-to-end: the BM25 postings are MATERIALIZED once as a
+    published SnapshotTable version partitioned by token-hash bucket (the
+    production claim in docs/SCALE.md — build the sparse index once, serve
+    every query from the stored table), then the same raw-query search
+    runs against ONLY the stored partitions the query's terms hash into
+    (PartitionFilters pruning, gated in docs/PLANS.md). Same oracle as the
+    inline form — the driver hash proves store+serve+prune loses nothing.
+    Re-runs over the same corpus hit the fingerprint skip."""
+    from darkbo_spark.operators.queryparse import search_text
+
+    docs = _t(spark, sf_dir, "documents")
+    stored = stored_postings_for_tokens(
+        spark, sf_dir, set(_PARSED.terms) | set(_RANK_TERMS)
+    )
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=stored)
 
 @_q("parsed_search_incremental_x", _PARSED_ORACLE)

@@ -109,11 +109,19 @@ def main() -> int:
     summary = {"pages": args.pages, "cores": args.cores, "trials": args.trials}
     for label in (args.label_a, args.label_b):
         walls = sorted(r["wall_s"] for r in results[label])
+        # best-per-STAGE across trials: on a noisy box the per-stage floor
+        # is the sharpest signal — a real regression shows up in the floor
+        # of the stage the suspect commit touched, noise does not
+        stage_best: dict[str, float] = {}
+        for r in results[label]:
+            for st, t in r.get("timings", {}).items():
+                stage_best[st] = min(stage_best.get(st, float("inf")), t)
         summary[label] = {
             "walls": walls,
             "best_wall_s": walls[0],
             "median_wall_s": walls[len(walls) // 2],
             "best_docs_per_sec": round(args.pages / walls[0], 2),
+            "stage_best": {k: round(v, 3) for k, v in stage_best.items()},
         }
     a, b = summary[args.label_a], summary[args.label_b]
     summary["ratio_best_b_over_a"] = round(b["best_wall_s"] / a["best_wall_s"], 3)

@@ -65,6 +65,15 @@ CHECKS = {
         "BroadcastHashJoin", "TakeOrderedAndProject", "PartitionFilters: [tok_bucket",
     ],
     "ann_ivf_stored": ["PartitionFilters: [cell", "!CartesianProduct"],
+    # boolean/fielded syntax served from the SAME stored postings table:
+    # the scan prunes to the query's token buckets (positive + negated +
+    # phrase rank words), never a postings rebuild
+    "parsed_search_boolean_stored": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "PartitionFilters: [tok_bucket",
+    ],
+    "parsed_search_fielded_stored": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "PartitionFilters: [tok_bucket",
+    ],
     # --- incremental sparse index: query-time weights are broadcast-term
     # joins over the raw-stats index; upsert = anti-join + union, never a
     # cross product or a corpus-wide sort-merge of the term sets

@@ -74,3 +74,32 @@ def test_fielded_terms(spark):
     # unknown field falls back to plain-term analysis of the token
     fallback = _ids(search_boolean(docs, "missing:x batch", fields=()))
     assert fallback == []  # 'missing'/'x' become required terms nobody has
+
+
+def test_stored_postings_serving_equals_inline(spark):
+    # stored serving path: search against an externally-built postings
+    # frame pruned to the query's token buckets must equal the inline
+    # build — boolean_query_tokens is the pruning key set
+    from darkbo_spark.operators.queryparse import boolean_query_tokens
+    from darkbo_spark.operators.tfidf import build_bm25_postings
+    from pyspark.sql import functions as F
+    from darkbo_spark.operators.dedup import portable_hash60
+
+    docs = _docs(spark, CORPUS)
+    q = '"window agg" OR batch NOT vector'
+    toks = boolean_query_tokens(parse_boolean_query(q))
+    assert toks == {"window", "agg", "batch", "vector"}
+    buckets = 8
+    full = build_bm25_postings(docs).withColumn(
+        "tok_bucket", F.pmod(portable_hash60(F.col("token")), F.lit(buckets)).cast("int")
+    )
+    import hashlib
+
+    need = {int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % buckets for t in toks}
+    pruned = full.filter(F.col("tok_bucket").isin(sorted(need)))
+    inline = {(r.doc_id, round(r.score, 9)) for r in search_boolean(docs, q).collect()}
+    stored = {
+        (r.doc_id, round(r.score, 9))
+        for r in search_boolean(docs, q, postings=pruned).collect()
+    }
+    assert inline == stored and inline
