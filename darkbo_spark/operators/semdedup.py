@@ -95,3 +95,46 @@ def semantic_dedup(
         "cell",
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def learned_codebook(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    n_train: int = 2000,
+    iters: int = 8,
+) -> list[list[float]]:
+    """IVF-TRAINED codebook for semantic_dedup — the production quantizer.
+    A k-means codebook (operators/similarity.train_ivf_centroids, the
+    same trainer the IVF ANN index uses) follows the data distribution,
+    so cell occupancy is balanced and the per-cell quadratic stays flat
+    where the data actually is; the fixed spherical code leaves dense
+    regions concentrated in a few cells (measured histogram in
+    BENCH/BASELINE.md). Returned centroids are unit vectors, so
+    assign_cells' argmax-dot rule — and every downstream dedup semantic
+    (9dp-rounded assignment, in-cell pair scan, keep-lowest-id) — applies
+    unchanged; tests/test_semdedup.py pins both codebooks to one
+    reference. The fixed codebook stays the ORACLE twin (literals inline
+    into SQL; a trained codebook depends on the data and cannot be known
+    at registration time)."""
+    from darkbo_spark.operators.similarity import train_ivf_centroids
+
+    return train_ivf_centroids(
+        emb, dim, vec_col, id_col, n_cells=n_cells,
+        n_train=n_train, iters=iters, seed=seed,
+    )
+
+
+def cell_sizes(cells: DataFrame) -> DataFrame:
+    """(cell, n_vectors): occupancy histogram of a cell assignment — the
+    skew diagnostic for the per-cell quadratic. max(n_vectors) bounds the
+    pair-scan cost per cell; at 100 TB this is the number you watch, and
+    n_cells is the knob you turn when it grows."""
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
