@@ -203,9 +203,34 @@ def main() -> int:
 
     out = tempfile.mkdtemp(prefix="bench_kg_")
     t0 = time.time()
-    run_pipeline(spark, out, n_pages=KG_PAGES, seed=42)
+    res = run_pipeline(spark, out, n_pages=KG_PAGES, seed=42)
     kg_wall = time.time() - t0
     timings["kg_pipeline"] = round(kg_wall, 3)
+
+    # maintenance: compact-then-expire on a DELIBERATELY fragmented copy
+    # of the real KG output (200 sliver files — the shape incremental
+    # ingest deltas leave behind), full-scan read timed before and after
+    # (median of 3 each). The delta is pure file-open/footer overhead the
+    # maintenance pass reclaims.
+    from darkbo_spark.storage.snapshots import SnapshotTable, maintain
+
+    frag_base = tempfile.mkdtemp(prefix="bench_maint_")
+    frag = SnapshotTable(frag_base, "kg_triples_frag")
+    frag.publish(res.tables["kg_triples"].read(spark).repartition(200), "frag")
+
+    def _scan(tbl):
+        reads = []
+        for _ in range(3):
+            t0 = time.time()
+            tbl.read(spark).write.format("noop").mode("overwrite").save()
+            reads.append(time.time() - t0)
+        return round(sorted(reads)[1], 3)
+
+    timings["kg_read_fragmented"] = _scan(frag)
+    maint_row = maintain(spark, frag)
+    timings["kg_maintain"] = maint_row["wall_s"]
+    timings["kg_read_compacted"] = _scan(frag)
+    shutil.rmtree(frag_base, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -217,6 +242,7 @@ def main() -> int:
         "sf": sf,
         "kg_pages": KG_PAGES,
         "kg_docs_per_sec": round(KG_PAGES / kg_wall, 2),
+        "kg_maintenance": maint_row,
         "cpus": cpus,
     }
     # Per-query detail goes to a file and an EARLIER stdout line; the LAST

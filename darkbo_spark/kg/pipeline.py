@@ -274,3 +274,42 @@ def _run_locked(
     for t in res.tables.values():
         t.expire(retain_last=3)
     return res
+
+
+def maintain_pipeline(
+    spark: SparkSession, out_dir: str, retain_last: int = 3
+) -> list[dict]:
+    """Opt-in maintenance pass over every stage table of a pipeline
+    output dir: compact-then-expire per table (storage.snapshots.maintain
+    — Iceberg's rewrite_data_files + expire_snapshots pairing), metrics
+    rows (files/bytes before and after, versions expired) published to a
+    `_maintenance` SnapshotTable alongside the run metrics. Idempotent:
+    a second pass right after finds every layout tight and only expires.
+    Crawl-cadence operation: ingest deltas fragment the bucketed tables
+    over time; this is the scheduled job that heals them. SnapshotTable
+    backend only — the Iceberg backend delegates to the catalog's own
+    rewrite_data_files/expire_snapshots maintenance."""
+    import pandas as pd
+
+    from darkbo_spark.storage.snapshots import SnapshotTable, maintain
+
+    names = sorted(
+        d
+        for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d))
+        and os.path.exists(os.path.join(out_dir, d, "current.json"))
+        and d != "_maintenance"
+    )
+    rows = [
+        maintain(spark, SnapshotTable(out_dir, n), retain_last=retain_last)
+        for n in names
+    ]
+    if rows:
+        tbl = make_table(out_dir, "_maintenance")
+        tbl.publish(
+            spark.createDataFrame(pd.DataFrame(rows)).coalesce(1),
+            _fp("maintenance", *(f"{r['table']}:{r['files_after']}" for r in rows),
+                str(time.time())),
+        )
+        tbl.expire(retain_last=retain_last)
+    return rows

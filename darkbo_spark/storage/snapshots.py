@@ -348,3 +348,67 @@ def partition_metrics(spark: SparkSession, data_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def maintain(
+    spark: SparkSession,
+    table: SnapshotTable,
+    retain_last: int = 3,
+    target_files: int = 1,
+    lock_wait_s: float = 120.0,
+) -> dict:
+    """Compact-then-expire maintenance for ONE table — Iceberg's
+    rewrite_data_files + expire_snapshots pairing run as a single pass
+    under the table's BuildLock (a maintenance rewrite must never race a
+    publisher into the same v{seq}, and expire must never reap a
+    publisher's in-flight dir it could then re-point to).
+
+    Compaction is SKIPPED when the current layout is already tight —
+    file count <= partition-dir count for partitioned tables (one file
+    per partition dir is the compact() target layout), <= `target_files`
+    otherwise — so the pass is idempotent and cheap to run on a
+    schedule; the second invocation in a row only expires. Returns a
+    metrics row (table, files/bytes before and after, compacted flag,
+    versions_expired, wall_s) — the files-before/after evidence a
+    maintenance job should publish with its run.
+    """
+    t0 = time.time()
+    files_before = table.data_files()
+    bytes_before = sum(os.path.getsize(f) for f in files_before)
+    dirs_before = {os.path.dirname(f) for f in files_before}
+    cur = table.current()
+    meta = next(
+        (m for m in table.versions() if cur and m["version"] == cur["version"]), {}
+    )
+    partitioned = bool(meta.get("partition_by"))
+    threshold = len(dirs_before) if partitioned else target_files
+    needs_compact = len(files_before) > threshold
+
+    base = os.path.dirname(table.dir)
+    lock = BuildLock(base, table.name)
+    owner = f"maint-{os.getpid()}-{time.time()}"
+    deadline = time.time() + lock_wait_s
+    while not lock.acquire(owner):
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"maintenance lock busy for {table.name}: {lock.owner()}"
+            )
+        time.sleep(0.25)
+    try:
+        if needs_compact:
+            table.compact(spark, target_files=target_files)
+        expired = table.expire(retain_last=retain_last)
+    finally:
+        lock.release(owner)
+
+    files_after = table.data_files()
+    return {
+        "table": table.name,
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "bytes_before": bytes_before,
+        "bytes_after": sum(os.path.getsize(f) for f in files_after),
+        "compacted": needs_compact,
+        "versions_expired": len(expired),
+        "wall_s": round(time.time() - t0, 3),
+    }

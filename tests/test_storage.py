@@ -185,3 +185,87 @@ def test_compact_partitioned_one_file_per_dir(spark, tmp_path):
     assert len(files) == 3  # exactly one per partition dir
     assert {f.split("k=")[1][0] for f in files} == {"0", "1", "2"}
     assert t.read(spark).count() == 90
+
+
+def test_maintain_compacts_expires_and_is_idempotent(spark, tmp_path):
+    from darkbo_spark.storage.snapshots import maintain
+
+    t = SnapshotTable(str(tmp_path), "mnt1")
+    for i in range(4):  # 4 versions, current one fragmented into 8 files
+        t.publish(_df(spark, 50 + i).repartition(8), f"fp_{i}")
+    assert len(t.data_files()) == 8
+
+    row = maintain(spark, t, retain_last=2)
+    assert row["table"] == "mnt1"
+    assert row["compacted"] is True
+    assert row["files_before"] == 8
+    assert row["files_after"] == 1
+    assert row["bytes_after"] <= row["bytes_before"]
+    # retention ran in the same pass: old fragmented versions reaped
+    assert row["versions_expired"] > 0
+    assert len(t.versions()) <= 2
+    assert t.read(spark).count() == 53  # current content unchanged
+
+    # second pass right after: layout already tight -> expire-only no-op
+    row2 = maintain(spark, t, retain_last=2)
+    assert row2["compacted"] is False
+    assert row2["files_before"] == row2["files_after"] == 1
+    assert row2["versions_expired"] == 0
+
+
+def test_maintain_partitioned_threshold_is_one_file_per_dir(spark, tmp_path):
+    from darkbo_spark.storage.snapshots import maintain
+
+    t = SnapshotTable(str(tmp_path), "mnt2")
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [i % 3 for i in range(90)], "x": range(90)})
+    ).repartition(8)
+    t.publish(df, "fp_p", partition_by=["k"])
+    assert len(t.data_files()) > 3
+
+    row = maintain(spark, t)
+    assert row["compacted"] is True
+    assert row["files_after"] == 3  # one per partition dir
+    # already at the partitioned target -> second pass skips compaction
+    assert maintain(spark, t)["compacted"] is False
+    assert t.read(spark).count() == 90
+
+
+def test_maintain_refuses_to_race_a_live_publisher(spark, tmp_path):
+    import pytest
+
+    from darkbo_spark.storage.snapshots import maintain
+
+    t = SnapshotTable(str(tmp_path), "mnt3")
+    t.publish(_df(spark, 10).repartition(4), "fp_a")
+    lock = BuildLock(str(tmp_path), "mnt3")
+    assert lock.acquire("publisher-1")
+    try:
+        with pytest.raises(RuntimeError, match="maintenance lock busy"):
+            maintain(spark, t, lock_wait_s=0.6)
+    finally:
+        lock.release("publisher-1")
+    # publisher done -> maintenance proceeds
+    assert maintain(spark, t)["compacted"] is True
+
+
+def test_maintain_pipeline_sweeps_all_tables_and_publishes_metrics(spark, tmp_path):
+    from darkbo_spark.kg.pipeline import maintain_pipeline
+    from darkbo_spark.storage.snapshots import maintain  # noqa: F401
+
+    base = str(tmp_path)
+    for name in ("kg_triples", "kg_entities"):
+        t = SnapshotTable(base, name)
+        t.publish(_df(spark, 40).repartition(8), f"fp_{name}")
+    rows = maintain_pipeline(spark, base, retain_last=3)
+    assert {r["table"] for r in rows} == {"kg_entities", "kg_triples"}
+    assert all(r["compacted"] and r["files_after"] == 1 for r in rows)
+
+    # metrics rows were published alongside the run, and the _maintenance
+    # table itself is excluded from the sweep (no self-maintenance loop)
+    m = SnapshotTable(base, "_maintenance")
+    got = {r.table for r in m.read(spark).collect()}
+    assert got == {"kg_entities", "kg_triples"}
+    rows2 = maintain_pipeline(spark, base, retain_last=3)
+    assert {r["table"] for r in rows2} == {"kg_entities", "kg_triples"}
+    assert not any(r["compacted"] for r in rows2)
