@@ -56,67 +56,76 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 #   1. never driver-sampled (new this round or added since the last gate),
 #   2. oracled entries whose most recent green driver row is ≥2 rounds old,
 #   3. refreshes of last-round entries whose code paths THIS round touched.
-# With 50 slots over ~85 oracled queries, two consecutive windows cover the
+# With 50 slots over ~100 oracled queries, two consecutive windows cover the
 # whole corpus, so max driver-row staleness stays ≤ 2 rounds. Rotated-out
-# entries keep their green rows on record in CORRECTNESS_r0{1..4}.json and
+# entries keep their green rows on record in CORRECTNESS_r0{1..5}.json and
 # stay verified by scripts/oracle_check.py (all queries, every session).
+#
+# Round-6 window: 3 never-sampled (this round's new oracled queries) + all
+# 9 r3-stale + 29 of the 41 r4-stale + 9 refreshes of r5-green entries
+# whose code round 6 touched (spans byte-trim rework, warc gzip, domains
+# full-PSL, semdedup learned quantizer, queryparse stored routing,
+# retrieval stored-serve plumbing). The 12 r4 entries left out (TPC-H
+# star/event aggregates on untouched code paths: q1/q3/q5, region/lineitem
+# rollups, pivot, grouping sets, first-window, heavy-hitters/user-counts
+# exact, as-of, chunk_documents_x) sit at staleness exactly 2 and lead the
+# round-7 window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # -- tier 1: never driver-sampled (added after the round-4 gate) --
+    # -- tier 1: never driver-sampled (added in round 6) --
+    "dup_span_trim_bytes_x",
+    "parsed_search_boolean_stored",
+    "parsed_search_fielded_stored",
+    # -- tier 2: last green driver row is r3 --
+    "cosine_neardup_pairs",
+    "dense_topk",
+    "hybrid_search",
+    "merge_upsert",
+    "point_lookup",
+    "regex_extract_snippets",
+    "token_jaccard_pairs",
+    "top5_orders",
+    "upsert_created_updated",
+    # -- tier 2: last green driver row is r4 --
+    "ann_ivf_stored",
+    "bm25_topk",
+    "clean_text_parity",
+    "decontaminate_x",
+    "dedup_keep_best_x",
+    "embed_documents_x",
+    "embed_link_candidates_x",
+    "flagship_relevance_topk",
+    "fuzzy_link_parts",
+    "hybrid_search_bm25",
+    "kg_canonicalize_driver_x",
+    "kg_canonicalize_x",
+    "kg_entity_degrees_x",
+    "kg_linked_salted_x",
+    "kg_linked_x",
+    "kg_triples_x",
+    "kg_two_hop_neighbors_x",
+    "minhash_lsh_pairs_x",
+    "neardup_clusters_x",
+    "parsed_search_incremental_x",
+    "prebuild_query_hybrid_x",
+    "redact_pii_docs",
+    "repetition_signals",
+    "shard_pack_x",
+    "simhash_neardup_pairs_x",
+    "training_mix_sample_x",
+    "unigram_logprob_scores",
+    "url_canonicalize",
+    "url_dedup_counts",
+    # -- tier 3: r5-green refreshes whose code paths round 6 touched --
     "dup_spans_x",
     "dup_span_trim_x",
-    "image_phash_x",
-    "quality_classifier_x",
-    "line_dedup_counts_x",
-    "line_dedup_trim_x",
+    "warc_parse_x",
     "domain_stats_x",
     "domain_caps_x",
-    "html_extract_parity",
-    "host_linkgraph_x",
-    "host_pagerank_x",
-    "kg_incremental_x",
     "semantic_dedup_x",
-    "training_pipeline_x",
-    "warc_parse_x",
     "parsed_search_boolean_x",
-    "bpe_word_freqs_x",
     "parsed_search_fielded_x",
-    "host_components_x",
-    "quality_percentile_filter_x",
-    # -- tier 2: last green driver row is r1 --
-    "content_ids",
-    "route_queries",
-    "title_derivation",
-    # -- tier 2: last green driver row is r3 --
-    "customers_without_recent_orders",
-    "customers_with_orders",
-    "tfidf_topk",
-    "parsed_search_topk",
-    "ann_ivf_full_probe",
-    "ann_multiprobe_exact",
-    "corpus_stats",
-    "source_checksums",
-    "lang_id",
-    "quality_scores",
-    "token_counts_by_lang",
-    "doc_fingerprints",
-    "rolling_fingerprints_x",
-    "bpe_token_counts",
-    "bpe_real_token_counts_x",
-    "exact_dedup_docs",
-    "training_data_filter",
-    "simhash_docs_x",
-    "dedup_first_wins",
-    "running_totals",
-    "sessionize_events",
-    "json_props_agg",
-    "window_rank_lag",
-    "value_percentiles",
-    "cube_event_stats",
-    # -- tier 3: r4-green refreshes whose code paths round 5 touches
-    #    (graph.py PageRank hygiene; queries/common.py stored-index lock) --
-    "kg_entity_pagerank_x",
     "parsed_search_stored",
 ]
 
