@@ -208,15 +208,18 @@ def main() -> int:
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     # maintenance: compact-then-expire on a DELIBERATELY fragmented copy
-    # of the real KG output (200 sliver files — the shape incremental
-    # ingest deltas leave behind), full-scan read timed before and after
-    # (median of 3 each). The delta is pure file-open/footer overhead the
-    # maintenance pass reclaims.
+    # of the real KG output (2000 sliver files — the shape months of
+    # incremental ingest deltas leave behind), full-scan read timed
+    # before and after (median of 3 each). Compaction targets one file
+    # per core — NOT one file total: a single small file is one input
+    # split, which would trade file-open overhead for lost read
+    # parallelism and measure the wrong thing (at cluster scale the
+    # analog is Iceberg's size-targeted rewrite, many ~512 MB files).
     from darkbo_spark.storage.snapshots import SnapshotTable, maintain
 
     frag_base = tempfile.mkdtemp(prefix="bench_maint_")
     frag = SnapshotTable(frag_base, "kg_triples_frag")
-    frag.publish(res.tables["kg_triples"].read(spark).repartition(200), "frag")
+    frag.publish(res.tables["kg_triples"].read(spark).repartition(2000), "frag")
 
     def _scan(tbl):
         reads = []
@@ -227,7 +230,7 @@ def main() -> int:
         return round(sorted(reads)[1], 3)
 
     timings["kg_read_fragmented"] = _scan(frag)
-    maint_row = maintain(spark, frag)
+    maint_row = maintain(spark, frag, target_files=threads)
     timings["kg_maintain"] = maint_row["wall_s"]
     timings["kg_read_compacted"] = _scan(frag)
     shutil.rmtree(frag_base, ignore_errors=True)

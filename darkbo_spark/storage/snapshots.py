@@ -371,6 +371,13 @@ def maintain(
     metrics row (table, files/bytes before and after, compacted flag,
     versions_expired, wall_s) — the files-before/after evidence a
     maintenance job should publish with its run.
+
+    Size `target_files` for read parallelism, not minimal count: one
+    small file is one input split (a file only splits past
+    spark.sql.files.maxPartitionBytes), so compacting an unpartitioned
+    table to a single sub-128MB file trades open overhead for a serial
+    scan. Pass ~cores locally; at cluster scale pick total_bytes /
+    ~512MB (Iceberg's size-targeted rewrite).
     """
     t0 = time.time()
     files_before = table.data_files()
