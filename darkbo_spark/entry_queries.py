@@ -40,6 +40,7 @@ import darkbo_spark.queries.quality_queries  # noqa: E402,F401
 import darkbo_spark.queries.events_queries  # noqa: E402,F401
 import darkbo_spark.queries.media_embed  # noqa: E402,F401
 import darkbo_spark.queries.kg_queries  # noqa: E402,F401
+import darkbo_spark.queries.anchor_queries  # noqa: E402,F401
 
 # re-exports kept stable for the driver entry module and tests
 from darkbo_spark.queries.retrieval import flagship  # noqa: E402,F401
@@ -61,15 +62,18 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # entries keep their green rows on record in CORRECTNESS_r0{1..5}.json and
 # stay verified by scripts/oracle_check.py (all queries, every session).
 #
-# Round-6 window: 3 never-sampled (this round's new oracled queries) + all
-# 9 r3-stale + 29 of the 41 r4-stale + 9 refreshes of r5-green entries
-# whose code round 6 touched (spans byte-trim rework, warc gzip, domains
-# full-PSL, semdedup learned quantizer, queryparse stored routing,
-# retrieval stored-serve plumbing). The 12 r4 entries left out (TPC-H
-# star/event aggregates on untouched code paths: q1/q3/q5, region/lineitem
-# rollups, pivot, grouping sets, first-window, heavy-hitters/user-counts
-# exact, as-of, chunk_documents_x) sit at staleness exactly 2 and lead the
-# round-7 window.
+# Round-6 window: 5 never-sampled (this round's new oracled queries:
+# byte-trim, stored boolean/fielded serve, anchor-text entity evidence,
+# entity co-occurrence PMI) + all 9 r3-stale + 29 of the 41 r4-stale + 7
+# refreshes of r5-green entries whose code round 6 touched (spans
+# byte-trim rework, warc gzip, domains full-PSL, semdedup learned
+# quantizer, queryparse stored routing, retrieval stored-serve plumbing —
+# the inline boolean/fielded forms cede their refresh slots to their new
+# stored twins, which drive the same matcher). The 12 r4 entries left out
+# (TPC-H star/event aggregates on untouched code paths: q1/q3/q5,
+# region/lineitem rollups, pivot, grouping sets, first-window,
+# heavy-hitters/user-counts exact, as-of, chunk_documents_x) sit at
+# staleness exactly 2 and lead the round-7 window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -77,6 +81,8 @@ _DRIVER_WINDOW = [
     "dup_span_trim_bytes_x",
     "parsed_search_boolean_stored",
     "parsed_search_fielded_stored",
+    "anchor_entity_links_x",
+    "kg_entity_cooccurrence_x",
     # -- tier 2: last green driver row is r3 --
     "cosine_neardup_pairs",
     "dense_topk",
@@ -124,8 +130,6 @@ _DRIVER_WINDOW = [
     "domain_stats_x",
     "domain_caps_x",
     "semantic_dedup_x",
-    "parsed_search_boolean_x",
-    "parsed_search_fielded_x",
     "parsed_search_stored",
 ]
 

@@ -571,3 +571,40 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
 FROM two_hop GROUP BY node
 ORDER BY node
 """
+
+
+def cooccurrence_oracle_sql(id_limit: int = 240, min_pair_docs: int = 1) -> str:
+    """Document-level entity co-occurrence PMI over the linked twin
+    corpus (operators/graph.entity_cooccurrence): per-url mention sets
+    from BOTH triple slots, distinct-ed, self-joined on url with e1 < e2,
+    PMI = ln(c_xy * N / (c_x * c_y)) over exact BIGINT counts. Float
+    discipline: one ln over a product/quotient of exactly-representable
+    integer doubles, rounded to 6 dp on both engines — the expression
+    tree (c_xy * N first, then the divide) mirrors the Spark projection
+    token for token."""
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    return f"""{_sents_cte(id_limit)},
+{_dict_sql().lstrip()},
+m0 AS (
+  SELECT t.url AS doc, ds.eid AS eid
+  FROM triples t JOIN dict_norm ds ON {norm.format(c='t.subj')} = ds.alias_norm
+  UNION ALL
+  SELECT t.url AS doc, dob.eid AS eid
+  FROM triples t JOIN dict_norm dob ON {norm.format(c='t.obj')} = dob.alias_norm
+),
+ents AS (SELECT DISTINCT doc, eid FROM m0),
+nd AS (SELECT COUNT(DISTINCT doc) AS n FROM ents),
+cx AS (SELECT eid, COUNT(*) AS c FROM ents GROUP BY eid),
+pairs AS (
+  SELECT a.eid AS e1, b.eid AS e2, COUNT(*) AS c_xy
+  FROM ents a JOIN ents b ON a.doc = b.doc AND a.eid < b.eid
+  GROUP BY 1, 2
+),
+f AS (SELECT * FROM pairs WHERE c_xy >= {min_pair_docs})
+SELECT f.e1, f.e2,
+       CAST(f.c_xy AS BIGINT) AS n_docs_together,
+       round(ln(CAST(f.c_xy AS DOUBLE) * CAST((SELECT n FROM nd) AS DOUBLE)
+                / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6) AS pmi
+FROM f JOIN cx c1 ON c1.eid = f.e1 JOIN cx c2 ON c2.eid = f.e2
+ORDER BY f.e1, f.e2
+"""

@@ -148,3 +148,66 @@ def pagerank(
         if converged:
             break
     return ranks
+
+
+def entity_cooccurrence(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    ent_col: str = "eid",
+    min_pair_docs: int = 1,
+) -> DataFrame:
+    """Document-level entity co-occurrence with PMI weighting — the KG
+    edge-ENRICHMENT step: triples give typed relations, co-occurrence
+    gives the untyped association strength (two entities repeatedly
+    mentioned in the same pages are related even when no extraction
+    pattern fires). PMI = ln(c_xy * N / (c_x * c_y)) over document
+    counts, N = documents with >=1 mentioned entity; positive PMI means
+    the pair co-occurs more than their popularity predicts — the
+    standard discriminator against hub entities that co-occur with
+    everything.
+
+    Returns (e1, e2, n_docs_together, pmi) with e1 < e2 and pmi rounded
+    to 6dp (cross-engine float discipline: one ln over a ratio of exact
+    BIGINT counts).
+
+    Scale shape: the input collapses to DISTINCT (doc, entity) first —
+    the per-doc entity SET, bounded by mention extraction (tens, not
+    thousands), so the url-key self-join emits O(k^2) per doc with small
+    k and never a cross-doc product; pair counts then aggregate with
+    map-side partials absorbing the head pairs. The marginals c_x and N
+    are tiny (entity-dictionary-bounded / scalar) and broadcast into
+    the final PMI projection.
+    """
+    ents = mentions.select(
+        F.col(doc_col).alias("doc"), F.col(ent_col).alias("eid")
+    ).distinct()
+    n_docs = ents.select("doc").distinct().count()
+    cx = ents.groupBy("eid").agg(F.count(F.lit(1)).alias("c"))
+    a = ents.alias("a")
+    b = ents.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc") == F.col("b.doc")) & (F.col("a.eid") < F.col("b.eid")))
+        .select(F.col("a.eid").alias("e1"), F.col("b.eid").alias("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pair_docs)
+    )
+    cx1 = F.broadcast(cx.select(F.col("eid").alias("e1"), F.col("c").alias("c_x")))
+    cx2 = F.broadcast(cx.select(F.col("eid").alias("e2"), F.col("c").alias("c_y")))
+    return (
+        pairs.join(cx1, "e1")
+        .join(cx2, "e2")
+        .select(
+            "e1",
+            "e2",
+            F.col("c_xy").cast("bigint").alias("n_docs_together"),
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -353,3 +353,36 @@ def kg_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale_kg = extract_and_link(stale_pages, dictionary)
     fresh = extract_and_link(delta_pages, dictionary)
     return upsert_triples_by_url(stale_kg, fresh, delta_pages.select("url"))
+
+
+# ---------------------------------------------------------------------------
+# Entity co-occurrence PMI (operators/graph.entity_cooccurrence): the
+# untyped edge-enrichment layer next to the typed triple edges — two
+# entities repeatedly mentioned on the same pages are associated even when
+# no extraction pattern fires. Hash-oracled THROUGH the pipeline: the
+# mention sets come from the real clean → segment → extract → link run,
+# and DuckDB replays pipeline + pair counting + the PMI float expression.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import cooccurrence_oracle_sql  # noqa: E402
+
+
+@_q("kg_entity_cooccurrence_x", cooccurrence_oracle_sql(240))
+def kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence with PMI weighting over linked
+    mentions (both triple slots). Scale shape: per-doc entity sets are
+    mention-bounded (tens), so the url-key self-join is O(k²) per doc and
+    never cross-doc; marginals and N are dictionary-bounded/scalar and
+    broadcast into one codegen projection."""
+    from darkbo_spark.operators.graph import entity_cooccurrence
+
+    linked = _kg_linked_twin(spark, sf_dir, "broadcast")
+    mentions = (
+        linked.filter(F.col("subj_eid").isNotNull())
+        .select("url", F.col("subj_eid").alias("eid"))
+        .unionAll(
+            linked.filter(F.col("obj_eid").isNotNull())
+            .select("url", F.col("obj_eid").alias("eid"))
+        )
+    )
+    return entity_cooccurrence(mentions, doc_col="url", ent_col="eid")

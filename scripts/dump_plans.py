@@ -146,6 +146,19 @@ CHECKS = {
     # final rank one top-k — no product anywhere in the OR/NOT machinery
     "parsed_search_boolean_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
     "parsed_search_fielded_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    # --- anchor evidence: zero-UDF regexp extraction, the dictionary join
+    # a broadcast, the rollup map-side-combinable hash aggregates — never
+    # a sort-merge of the anchor stream against the dictionary
+    "anchor_entity_links_x": [
+        "BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct",
+    ],
+    # --- co-occurrence PMI: pair generation is an EQUI self-join on the
+    # doc key (bounded per-doc quadratic), marginals broadcast into the
+    # final projection — no product, no sort-merge against the marginals
+    "kg_entity_cooccurrence_x": [
+        "BroadcastHashJoin", "HashAggregate", "!CartesianProduct",
+        "!BroadcastNestedLoopJoin",
+    ],
 }
 
 

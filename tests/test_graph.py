@@ -88,3 +88,47 @@ def test_pagerank_checkpoint_cadence_bit_identical(spark):
         got = {r.node: r.rank for r in
                pagerank(_edges(spark, pairs), iters=7, checkpoint_every=k).collect()}
         assert got == want, f"cadence {k} changed values"
+
+
+# ---------------------------------------------------------------------------
+# entity_cooccurrence: document-level PMI edges
+# ---------------------------------------------------------------------------
+
+import math
+
+from darkbo_spark.operators.graph import entity_cooccurrence
+
+
+def _mentions(spark, pairs):
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["url", "eid"]))
+
+
+def test_entity_cooccurrence_pmi_hand_computed(spark):
+    # d1{A,B} d2{A,B} d3{A,C} d4{B}; duplicate mention of A in d1 collapses
+    m = _mentions(
+        spark,
+        [
+            ("d1", "A"), ("d1", "A"), ("d1", "B"),
+            ("d2", "A"), ("d2", "B"),
+            ("d3", "A"), ("d3", "C"),
+            ("d4", "B"),
+        ],
+    )
+    got = {
+        (r.e1, r.e2): (r.n_docs_together, r.pmi)
+        for r in entity_cooccurrence(m).collect()
+    }
+    # N=4 docs; c_A=3, c_B=3, c_C=1
+    assert got[("A", "B")] == (2, round(math.log(2 * 4.0 / (3.0 * 3.0)), 6))
+    assert got[("A", "C")] == (1, round(math.log(1 * 4.0 / (3.0 * 1.0)), 6))
+    assert ("B", "C") not in got  # never co-occur
+    assert set(got) == {("A", "B"), ("A", "C")}
+
+
+def test_entity_cooccurrence_min_pair_docs_filter(spark):
+    m = _mentions(
+        spark,
+        [("d1", "A"), ("d1", "B"), ("d2", "A"), ("d2", "B"), ("d3", "A"), ("d3", "C")],
+    )
+    got = entity_cooccurrence(m, min_pair_docs=2).collect()
+    assert [(r.e1, r.e2, r.n_docs_together) for r in got] == [("A", "B", 2)]
