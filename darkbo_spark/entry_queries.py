@@ -62,17 +62,19 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # entries keep their green rows on record in CORRECTNESS_r0{1..5}.json and
 # stay verified by scripts/oracle_check.py (all queries, every session).
 #
-# Round-6 window: 5 never-sampled (this round's new oracled queries:
+# Round-6 window: 6 never-sampled (this round's new oracled queries:
 # byte-trim, stored boolean/fielded serve, anchor-text entity evidence,
-# entity co-occurrence PMI) + all 9 r3-stale + 29 of the 41 r4-stale + 7
+# entity co-occurrence PMI, CDX index) + all 9 r3-stale + 28 of the 41
+# r4-stale + 7
 # refreshes of r5-green entries whose code round 6 touched (spans
 # byte-trim rework, warc gzip, domains full-PSL, semdedup learned
 # quantizer, queryparse stored routing, retrieval stored-serve plumbing —
 # the inline boolean/fielded forms cede their refresh slots to their new
-# stored twins, which drive the same matcher). The 12 r4 entries left out
+# stored twins, which drive the same matcher). The 13 r4 entries left out
 # (TPC-H star/event aggregates on untouched code paths: q1/q3/q5,
 # region/lineitem rollups, pivot, grouping sets, first-window,
-# heavy-hitters/user-counts exact, as-of, chunk_documents_x) sit at
+# heavy-hitters/user-counts exact, as-of, chunk_documents_x, plus
+# url_dedup_counts, which ceded its slot to warc_cdx_x) sit at
 # staleness exactly 2 and lead the round-7 window.
 # ---------------------------------------------------------------------------
 
@@ -83,6 +85,7 @@ _DRIVER_WINDOW = [
     "parsed_search_fielded_stored",
     "anchor_entity_links_x",
     "kg_entity_cooccurrence_x",
+    "warc_cdx_x",
     # -- tier 2: last green driver row is r3 --
     "cosine_neardup_pairs",
     "dense_topk",
@@ -122,7 +125,6 @@ _DRIVER_WINDOW = [
     "training_mix_sample_x",
     "unigram_logprob_scores",
     "url_canonicalize",
-    "url_dedup_counts",
     # -- tier 3: r5-green refreshes whose code paths round 6 touched --
     "dup_spans_x",
     "dup_span_trim_x",

@@ -78,3 +78,74 @@ def warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec_df.mapInPandas(
         parse, "doc_id bigint, url string, content_length bigint, payload_md5 string"
     )
+
+
+# CDX index oracle: both engines lay the SAME records into per-bucket
+# member streams (records concatenated in doc_id order, CRLFCRLF-framed);
+# Spark runs the REAL byte-walking indexer (sources/warc.py cdx_records)
+# over the assembled stream, DuckDB re-derives every record's seek
+# coordinates arithmetically — offset = running sum of preceding record
+# spans (+4 for the inter-record separator), length = header+payload byte
+# count — so the indexer's offset bookkeeping is under the driver hash.
+# Compressed-member (.warc.gz) offsets are zlib-dependent and not
+# SQL-expressible; those are pinned by the fetch-by-offset round-trip in
+# tests/test_warc.py.
+_CDX_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, doc_id % 8 AS bucket, {_WARC_REC_SQL} AS rec, text
+  FROM documents WHERE doc_id < 400
+)
+SELECT bucket,
+       'https://w.test/' || CAST(doc_id AS STRING) AS url,
+       CAST(COALESCE(SUM(strlen(rec) + 4) OVER (
+            PARTITION BY bucket ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS rec_offset,
+       CAST(strlen(rec) AS BIGINT) AS rec_length,
+       md5(text) AS payload_md5
+FROM r
+"""
+
+
+@_q("warc_cdx_x", _CDX_ORACLE)
+def warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style record index under the driver hash: assemble 8 member
+    streams (bucket = file), walk each ONCE with the real indexer, emit
+    (bucket, url, rec_offset, rec_length, payload_md5). One shuffle on
+    the file key — exactly the per-file index pass a 100 TB dump needs
+    (there binaryFile supplies real files and the shuffle disappears)."""
+    import hashlib
+
+    from darkbo_spark.sources.warc import cdx_records
+
+    def index_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        stream = b"".join(bytes(b) + b"\r\n\r\n" for b in pdf["rec"])
+        bucket = int(pdf["bucket"].iloc[0])
+        rows = [
+            (
+                bucket,
+                r["url"],
+                r["offset"],
+                r["length"],
+                hashlib.md5(r["payload"]).hexdigest(),
+            )
+            for r in cdx_records(stream)
+        ]
+        return pd.DataFrame(
+            rows, columns=["bucket", "url", "rec_offset", "rec_length", "payload_md5"]
+        )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    rec_df = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("bucket"),
+        F.encode(F.expr(_WARC_REC_SQL), "utf-8").alias("rec"),
+    )
+    return rec_df.groupBy("bucket").applyInPandas(
+        index_bucket,
+        "bucket bigint, url string, rec_offset bigint, rec_length bigint,"
+        " payload_md5 string",
+    )

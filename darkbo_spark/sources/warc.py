@@ -68,9 +68,13 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[dict]:
-    """Yield record dicts from one (uncompressed) WARC member. Tolerant:
-    a truncated trailing record is skipped."""
+def parse_warc_bytes_indexed(data: bytes) -> Iterator[dict]:
+    """Yield record dicts from one (uncompressed) WARC member, each
+    carrying its byte position: `offset` = start of the `WARC/` header
+    line, `length` = header block + payload bytes (the trailing CRLFCRLF
+    separator is excluded, so slicing data[offset:offset+length] yields a
+    self-contained re-parseable record — the CDX random-access contract).
+    Tolerant: a truncated trailing record is skipped."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -95,22 +99,33 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             "rec_type": headers.get("warc-type", ""),
             "content_length": length,
             "payload": data[body_start : body_start + length],
+            "offset": start,
+            "length": (body_start + length) - start,
         }
         # records are followed by \r\n\r\n per spec; find() resyncs anyway
         pos = body_start + length
 
 
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """Yield record dicts from one (uncompressed) WARC member. Tolerant:
+    a truncated trailing record is skipped."""
+    for rec in parse_warc_bytes_indexed(data):
+        rec.pop("offset")
+        rec.pop("length")
+        yield rec
+
+
 GZIP_MAGIC = b"\x1f\x8b"
 
 
-def gunzip_members(data: bytes) -> bytes:
-    """Decode concatenated gzip members (the .warc.gz layout: Common
-    Crawl writes ONE gzip member PER RECORD, members back to back; a
-    whole-file single stream is the one-member special case). Tolerant:
-    a torn/corrupt trailing member is dropped — its partial bytes never
-    reach the record parser, so a torn .gz tail degrades exactly like a
-    torn .warc tail (record skipped, stage survives)."""
-    out = []
+def iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Walk concatenated gzip members yielding (compressed_offset,
+    compressed_length, decompressed_bytes) per member — the byte
+    positions are exactly what a CDX index stores for random access
+    into a .warc.gz (seek to offset, read length, gunzip one member).
+    Tolerant: a torn/corrupt trailing member is dropped — its partial
+    bytes never reach the record parser, so a torn .gz tail degrades
+    exactly like a torn .warc tail (record skipped, stage survives)."""
     pos = 0
     n = len(data)
     while pos < n and data[pos : pos + 2] == GZIP_MAGIC:
@@ -118,15 +133,21 @@ def gunzip_members(data: bytes) -> bytes:
         try:
             chunk = d.decompress(data[pos:]) + d.flush()
         except zlib.error:
-            break  # corrupt member — drop it and everything after
+            return  # corrupt member — drop it and everything after
         if not d.eof:
-            break  # truncated final member at EOF
-        out.append(chunk)
+            return  # truncated final member at EOF
         consumed = (n - pos) - len(d.unused_data)
         if consumed <= 0:
-            break
+            return
+        yield pos, consumed, chunk
         pos += consumed
-    return b"".join(out)
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decode concatenated gzip members (the .warc.gz layout: Common
+    Crawl writes ONE gzip member PER RECORD, members back to back; a
+    whole-file single stream is the one-member special case)."""
+    return b"".join(chunk for _, _, chunk in iter_gzip_members(data))
 
 
 def maybe_gunzip(data: bytes) -> bytes:
@@ -169,6 +190,85 @@ def write_warc_gz(records: list[dict], path: str) -> None:
     with open(path, "wb") as f:
         for r in records:
             f.write(gzip.compress(_record_bytes(r), mtime=0))
+
+
+def cdx_records(data: bytes) -> Iterator[dict]:
+    """CDX-style index walk over raw member-file bytes (magic-sniffed):
+
+    * `.warc.gz` (CC layout, one gzip member per record): `offset` /
+      `length` are the COMPRESSED member's position and size — the pair a
+      range-GET against the crawl bucket needs. Records inside a
+      multi-record member (non-CC writers) share their member's offsets.
+    * plain `.warc`: the record's own byte span (see
+      parse_warc_bytes_indexed).
+
+    Either way `fetch_warc_record(data, offset, length)` round-trips."""
+    if data[:2] == GZIP_MAGIC:
+        for off, clen, chunk in iter_gzip_members(data):
+            for rec in parse_warc_bytes_indexed(chunk):
+                rec["offset"] = off
+                rec["length"] = clen
+                yield rec
+    else:
+        yield from parse_warc_bytes_indexed(data)
+
+
+def fetch_warc_record(data: bytes, offset: int, length: int) -> dict | None:
+    """Random access by CDX coordinates: slice one record's bytes out of
+    the member file (compressed member for .warc.gz, raw record span for
+    .warc), decode, parse. The 100 TB shape: a served lookup reads
+    `length` bytes from one file — never the file, never the corpus."""
+    blob = maybe_gunzip(data[offset : offset + length])
+    return next(parse_warc_bytes_indexed(blob), None)
+
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("rec_type", StringType()),
+        StructField("rec_offset", LongType()),
+        StructField("rec_length", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def warc_cdx_index(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed CDX index build: binaryFile (one task per member
+    file) → one parse pass emitting (file, url, warc_date, rec_type,
+    rec_offset, rec_length, payload_md5) — the lookup table that turns a
+    crawl dump into a random-access store (url → seek coordinates).
+    Payload digest is computed in the same Arrow batch as the parse (the
+    payload bytes never cross into the JVM — only the 7 slim index
+    columns do, so a 100 TB dump indexes with record-bytes staying
+    executor-local)."""
+    import hashlib
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in cdx_records(bytes(content)):
+                    rows.append(
+                        (
+                            fpath,
+                            rec["url"],
+                            rec["warc_date"],
+                            rec["rec_type"],
+                            rec["offset"],
+                            rec["length"],
+                            hashlib.md5(rec["payload"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in CDX_SCHEMA.fields])
+
+    return files.mapInPandas(build, CDX_SCHEMA)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -142,6 +142,11 @@ CHECKS = {
     # --- WARC parse: record construction + byte parse is ONE narrow map
     # over the scan — zero shuffles end to end
     "warc_parse_x": ["MapInPandas", "!Exchange"],
+    # --- CDX index: one hash exchange on the file key into the per-file
+    # indexing pass (FlatMapGroupsInPandas) — never a single-partition
+    # funnel (on a real dump binaryFile supplies the files and even that
+    # one exchange disappears)
+    "warc_cdx_x": ["FlatMapGroupsInPandas", "hashpartitioning", "!SinglePartition"],
     # --- boolean search: clause matches are broadcast term joins, the
     # final rank one top-k — no product anywhere in the OR/NOT machinery
     "parsed_search_boolean_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],

@@ -157,3 +157,101 @@ def test_read_warc_gz_distributed(spark, tmp_path):
             .orderBy("url").select("url", "payload").collect())
     assert [r.url for r in rows] == ["https://mix.test/gz", "https://mix.test/plain"]
     assert bytes(rows[0].payload) == html == bytes(rows[1].payload)
+
+
+# ---------------------------------------------------------------- CDX index
+
+
+def test_cdx_fetch_round_trip_plain(tmp_path):
+    """Every (offset, length) the index emits must slice back to a
+    self-contained record with identical url + payload bytes."""
+    from darkbo_spark.sources.warc import cdx_records, fetch_warc_record
+
+    recs = [
+        _rec("https://c.test/1", b"<html>alpha</html>"),
+        _rec("https://c.test/2", b"beta " * 100),
+        _rec("https://c.test/3", b""),
+    ]
+    p = str(tmp_path / "c.warc")
+    write_warc(recs, p)
+    data = open(p, "rb").read()
+    idx = list(cdx_records(data))
+    assert [r["url"] for r in idx] == [r["url"] for r in recs]
+    for want, entry in zip(recs, idx):
+        got = fetch_warc_record(data, entry["offset"], entry["length"])
+        assert got is not None
+        assert got["url"] == want["url"]
+        assert got["payload"] == want["payload"]
+
+
+def test_cdx_fetch_round_trip_gz(tmp_path):
+    """.warc.gz: offsets/lengths address COMPRESSED members; fetch must
+    seek-slice-gunzip-parse back to identical payload bytes (the CC
+    range-GET contract)."""
+    from darkbo_spark.sources.warc import cdx_records, fetch_warc_record, write_warc_gz
+
+    recs = [
+        _rec("https://g.test/1", b"<html>one</html>"),
+        _rec("https://g.test/2", b"two " * 500),
+        _rec("https://g.test/3", b"{}", rec_type="metadata"),
+    ]
+    p = str(tmp_path / "c.warc.gz")
+    write_warc_gz(recs, p)
+    data = open(p, "rb").read()
+    idx = list(cdx_records(data))
+    assert [r["url"] for r in idx] == [r["url"] for r in recs]
+    # members are contiguous and cover the file exactly
+    assert idx[0]["offset"] == 0
+    for a, b in zip(idx, idx[1:]):
+        assert b["offset"] == a["offset"] + a["length"]
+    assert idx[-1]["offset"] + idx[-1]["length"] == len(data)
+    for want, entry in zip(recs, idx):
+        got = fetch_warc_record(data, entry["offset"], entry["length"])
+        assert got["url"] == want["url"]
+        assert got["payload"] == want["payload"]
+
+
+def test_cdx_gz_torn_tail_drops_only_last(tmp_path):
+    from darkbo_spark.sources.warc import cdx_records, write_warc_gz
+
+    recs = [_rec("https://t.test/1", b"keep"), _rec("https://t.test/2", b"torn")]
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_gz(recs, p)
+    data = open(p, "rb").read()
+    whole = list(cdx_records(data))
+    torn = list(cdx_records(data[:-7]))
+    assert [r["url"] for r in whole] == ["https://t.test/1", "https://t.test/2"]
+    assert [r["url"] for r in torn] == ["https://t.test/1"]
+
+
+def test_warc_cdx_index_distributed(spark, tmp_path):
+    """warc_cdx_index over a mixed dir (one .warc, one .warc.gz): every
+    row's coordinates must fetch back the md5-matching payload from its
+    own file."""
+    import hashlib
+
+    from darkbo_spark.sources.warc import fetch_warc_record, warc_cdx_index, write_warc_gz
+
+    write_warc(
+        [_rec("https://d.test/p1", b"plain one"), _rec("https://d.test/p2", b"plain two")],
+        str(tmp_path / "a.warc"),
+    )
+    write_warc_gz(
+        [_rec("https://d.test/g1", b"gz one"), _rec("https://d.test/g2", b"gz two")],
+        str(tmp_path / "b.warc.gz"),
+    )
+    rows = warc_cdx_index(spark, str(tmp_path)).collect()
+    assert sorted(r.url for r in rows) == [
+        "https://d.test/g1",
+        "https://d.test/g2",
+        "https://d.test/p1",
+        "https://d.test/p2",
+    ]
+    by_file = {}
+    for r in rows:
+        fpath = r.file.removeprefix("file:")
+        if fpath not in by_file:
+            by_file[fpath] = open(fpath, "rb").read()
+        rec = fetch_warc_record(by_file[fpath], r.rec_offset, r.rec_length)
+        assert rec is not None and rec["url"] == r.url
+        assert hashlib.md5(rec["payload"]).hexdigest() == r.payload_md5
