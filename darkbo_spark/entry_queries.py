@@ -62,19 +62,20 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # entries keep their green rows on record in CORRECTNESS_r0{1..5}.json and
 # stay verified by scripts/oracle_check.py (all queries, every session).
 #
-# Round-6 window: 6 never-sampled (this round's new oracled queries:
+# Round-6 window: 8 never-sampled (this round's new oracled queries:
 # byte-trim, stored boolean/fielded serve, anchor-text entity evidence,
-# entity co-occurrence PMI, CDX index) + all 9 r3-stale + 28 of the 41
-# r4-stale + 7
+# entity co-occurrence PMI, CDX index, temporal fact resolution +
+# conflict inventory) + all 9 r3-stale + 26 of the 41 r4-stale + 7
 # refreshes of r5-green entries whose code round 6 touched (spans
 # byte-trim rework, warc gzip, domains full-PSL, semdedup learned
 # quantizer, queryparse stored routing, retrieval stored-serve plumbing —
 # the inline boolean/fielded forms cede their refresh slots to their new
-# stored twins, which drive the same matcher). The 13 r4 entries left out
+# stored twins, which drive the same matcher). The 15 r4 entries left out
 # (TPC-H star/event aggregates on untouched code paths: q1/q3/q5,
 # region/lineitem rollups, pivot, grouping sets, first-window,
 # heavy-hitters/user-counts exact, as-of, chunk_documents_x, plus
-# url_dedup_counts, which ceded its slot to warc_cdx_x) sit at
+# url_dedup_counts / url_canonicalize / unigram_logprob_scores, which
+# ceded their slots to this round's new oracled queries) sit at
 # staleness exactly 2 and lead the round-7 window.
 # ---------------------------------------------------------------------------
 
@@ -86,6 +87,8 @@ _DRIVER_WINDOW = [
     "anchor_entity_links_x",
     "kg_entity_cooccurrence_x",
     "warc_cdx_x",
+    "kg_facts_asof_x",
+    "kg_fact_conflicts_x",
     # -- tier 2: last green driver row is r3 --
     "cosine_neardup_pairs",
     "dense_topk",
@@ -123,8 +126,6 @@ _DRIVER_WINDOW = [
     "shard_pack_x",
     "simhash_neardup_pairs_x",
     "training_mix_sample_x",
-    "unigram_logprob_scores",
-    "url_canonicalize",
     # -- tier 3: r5-green refreshes whose code paths round 6 touched --
     "dup_spans_x",
     "dup_span_trim_x",

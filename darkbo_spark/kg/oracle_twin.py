@@ -608,3 +608,65 @@ SELECT f.e1, f.e2,
 FROM f JOIN cx c1 ON c1.eid = f.e1 JOIN cx c2 ON c2.eid = f.e2
 ORDER BY f.e1, f.e2
 """
+
+
+# ---------------------------------------------------------------------------
+# Temporal fact resolution + conflict detection (kg/temporal.py): the twin
+# pages gain a per-page crawl date (doc_id % 7 days after 2024-01-01), and
+# DuckDB replays pipeline → subj link → latest-wins window / functional-
+# violation aggregate. The date is re-derived from the url suffix (both
+# engines construct url = prefix || doc_id, so substr(url, 21) IS doc_id).
+# ---------------------------------------------------------------------------
+
+_TS_SQL = (
+    "DATE '2024-01-01'"
+    " + CAST(CAST(substr(t.url, 21) AS BIGINT) % 7 AS INTEGER)"
+)
+
+
+def _linked_ts_cte(id_limit: int) -> str:
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    return f"""{_sents_cte(id_limit)},
+{_dict_sql().lstrip()},
+lt AS (
+  SELECT t.url, t.sent_idx, t.pred, t.obj, ds.eid AS subj_eid,
+         {_TS_SQL} AS ts
+  FROM triples t
+  JOIN dict_norm ds ON {norm.format(c='t.subj')} = ds.alias_norm
+)"""
+
+
+def facts_oracle_sql(id_limit: int = 240, as_of: str = "2024-01-05") -> str:
+    """resolve_facts replay: latest-wins per (subj_eid, pred) with the
+    same deterministic tie order, temporal filter at `as_of`."""
+    return f"""{_linked_ts_cte(id_limit)},
+rk AS (
+  SELECT subj_eid, pred, obj, ts,
+         ROW_NUMBER() OVER (PARTITION BY subj_eid, pred
+                            ORDER BY ts DESC, obj DESC, url DESC,
+                                     sent_idx DESC) AS rk
+  FROM lt WHERE ts <= DATE '{as_of}'
+)
+SELECT subj_eid, pred, obj, strftime(ts, '%Y-%m-%d') AS fact_date
+FROM rk WHERE rk = 1
+ORDER BY subj_eid, pred
+"""
+
+
+def conflicts_oracle_sql(id_limit: int = 240) -> str:
+    """detect_conflicts replay: functional slots asserting >1 distinct
+    value, summarized by count + value extremes (FUNCTIONAL_PREDS kept in
+    lockstep with kg/temporal.py)."""
+    preds = ", ".join(f"'{p}'" for p in ("founded_in", "founded_by", "based_in", "is_a"))
+    return f"""{_linked_ts_cte(id_limit)}
+SELECT subj_eid, pred,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       MIN(obj) AS first_obj,
+       MAX(obj) AS last_obj
+FROM lt
+WHERE pred IN ({preds})
+GROUP BY subj_eid, pred
+HAVING COUNT(DISTINCT obj) > 1
+ORDER BY subj_eid, pred
+"""

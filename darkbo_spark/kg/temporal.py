@@ -1,0 +1,80 @@
+"""Temporal fact resolution + conflict detection over the linked KG —
+the fusion layer of KG construction: a web corpus asserts the same
+(entity, predicate) many times across pages crawled at different times
+with different values, and the KG must publish ONE current fact per
+functional slot plus an inventory of what disagreed.
+
+Reference parity: the reference KB holds one value per FAQ/KB key and
+last-write-wins on rebuild (muneebakhter/DARKBO ai_worker.py KB load —
+dict insertion order); this generalizes that to crawl-timestamped triple
+streams, the standard "fact fusion by recency" step (cf. Dong et al.,
+Knowledge Vault) re-expressed as one window/aggregate.
+
+Scale shape (100 TB): both operators shuffle the triple stream ONCE on
+the (subj_eid, pred) fact key — a fine-grained key (entities × predicates),
+so no reducer sees more than one entity-slot's mentions; there is no
+self-join, no product, and the window never funnels through a single
+partition. Head entities are bounded by mentions-per-slot, the same skew
+envelope as the link stage's salted join upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# predicates expected to hold ONE value per subject (the functional slots
+# worth resolving / flagging); multi-valued predicates (acquired,
+# partnered_with, launched, works_at...) are excluded by default.
+FUNCTIONAL_PREDS = ("founded_in", "founded_by", "based_in", "is_a")
+
+
+def resolve_facts(
+    linked: DataFrame, as_of: str, ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Latest-wins resolution: for each (subj_eid, pred), the obj asserted
+    by the most recent page with ts <= as_of. Ties at the winning
+    timestamp break deterministically (obj, url, sent_idx descending) so
+    the published fact table is bit-stable across runs and partitionings.
+    Returns (subj_eid, pred, obj, fact_date)."""
+    w = Window.partitionBy("subj_eid", "pred").orderBy(
+        F.col(ts_col).desc(),
+        F.col("obj").desc(),
+        F.col("url").desc(),
+        F.col("sent_idx").desc(),
+    )
+    return (
+        linked.filter(F.col("subj_eid").isNotNull())
+        .filter(F.col(ts_col) <= F.lit(as_of).cast("date"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "subj_eid",
+            "pred",
+            "obj",
+            F.date_format(ts_col, "yyyy-MM-dd").alias("fact_date"),
+        )
+    )
+
+
+def detect_conflicts(
+    linked: DataFrame, functional_preds: tuple[str, ...] = FUNCTIONAL_PREDS
+) -> DataFrame:
+    """Functional-dependency violations: (subj_eid, pred) slots asserting
+    >1 distinct value anywhere in the corpus — the curation worklist that
+    precedes resolution. One map-side-combinable aggregate; value extremes
+    (not an array) summarize the disagreement cross-engine-stably.
+    Returns (subj_eid, pred, n_values, n_mentions, first_obj, last_obj)."""
+    return (
+        linked.filter(F.col("subj_eid").isNotNull())
+        .filter(F.col("pred").isin(*functional_preds))
+        .groupBy("subj_eid", "pred")
+        .agg(
+            F.countDistinct("obj").cast("bigint").alias("n_values"),
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.min("obj").alias("first_obj"),
+            F.max("obj").alias("last_obj"),
+        )
+        .filter(F.col("n_values") > 1)
+    )

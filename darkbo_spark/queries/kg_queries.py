@@ -386,3 +386,61 @@ def kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return entity_cooccurrence(mentions, doc_col="url", ent_col="eid")
+
+
+# ---------------------------------------------------------------------------
+# Temporal fact resolution + functional-conflict detection (kg/temporal.py):
+# the fusion layer — crawl-dated twin pages (doc_id % 7 days of drift, so
+# the same entity slot is asserted at several dates with several values)
+# run the REAL pipeline, then latest-wins resolution / violation inventory,
+# vs a DuckDB window/aggregate replay of the whole chain.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import (  # noqa: E402
+    conflicts_oracle_sql,
+    facts_oracle_sql,
+)
+
+
+def _dated_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linked triples carrying each page's crawl date: twin pages with
+    warc_ts = 2024-01-01 + (doc_id % 7) days through E→S→T→L, the ts
+    joined back on the page key (url) — at scale a co-partitioned join
+    against the (url, ts) side of the same scan, here a broadcast."""
+    from darkbo_spark.kg.incremental import extract_and_link
+    from darkbo_spark.kg.oracle_twin import raw_text_sql, twin_entity_dict
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.filter(F.col("doc_id") < 240).select(
+        F.concat(F.lit("https://twin.test/p/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")), (F.col("doc_id") % 7).cast("int")
+        ).alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        F.expr(raw_text_sql("doc_id")).alias("text"),
+    )
+    linked = extract_and_link(pages, twin_entity_dict(spark))
+    return linked.join(F.broadcast(pages.select("url", "warc_ts")), "url")
+
+
+@_q("kg_facts_asof_x", facts_oracle_sql(240, as_of="2024-01-05"))
+def kg_facts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins fact state as of 2024-01-05 (pages dated after the
+    cutoff must NOT contribute): one window over the (subj_eid, pred)
+    fact key, deterministic tie order — the published current-facts
+    table of the constructed KG."""
+    from darkbo_spark.kg.temporal import resolve_facts
+
+    return resolve_facts(_dated_linked_twin(spark, sf_dir), as_of="2024-01-05")
+
+
+@_q("kg_fact_conflicts_x", conflicts_oracle_sql(240))
+def kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violations across the whole crawl window:
+    the curation worklist (slots asserting >1 value), one map-side-
+    combinable aggregate on the same fact key."""
+    from darkbo_spark.kg.temporal import detect_conflicts
+
+    return detect_conflicts(_dated_linked_twin(spark, sf_dir))

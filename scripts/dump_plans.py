@@ -164,6 +164,21 @@ CHECKS = {
         "BroadcastHashJoin", "HashAggregate", "!CartesianProduct",
         "!BroadcastNestedLoopJoin",
     ],
+    # --- temporal fact resolution: ONE window over the fine-grained
+    # (subj_eid, pred) fact key — hash-partitioned, never a global sort
+    # funnel; the page-date join is a broadcast
+    "kg_facts_asof_x": [
+        "Window", "hashpartitioning", "BroadcastHashJoin",
+        "!SinglePartition", "!CartesianProduct",
+    ],
+    # --- conflict inventory: partial-then-final aggregates on the same
+    # fact key (SortAggregate — the string min/max buffers are var-length,
+    # so Spark picks the sort-based form; still map-side combined before
+    # the exchange) — no product, no sort-merge against the page dates
+    "kg_fact_conflicts_x": [
+        "SortAggregate", "BroadcastHashJoin",
+        "!SortMergeJoin", "!CartesianProduct",
+    ],
 }
 
 

@@ -1,0 +1,93 @@
+"""Temporal fact resolution + conflict detection (kg/temporal.py):
+as-of filtering, latest-wins with deterministic ties, functional-slot
+violation inventory, partitioning invariance."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from darkbo_spark.kg.temporal import detect_conflicts, resolve_facts
+
+
+def _linked(spark, rows):
+    """rows: (url, sent_idx, pred, obj, subj_eid, date_str)."""
+    df = pd.DataFrame(
+        rows, columns=["url", "sent_idx", "pred", "obj", "subj_eid", "d"]
+    )
+    sdf = spark.createDataFrame(df)
+    return sdf.select(
+        "url",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "pred",
+        "obj",
+        "subj_eid",
+        F.to_date("d").alias("warc_ts"),
+    )
+
+
+def test_latest_wins_and_asof_cutoff(spark):
+    linked = _linked(
+        spark,
+        [
+            ("u/1", 0, "based_in", "Berlin", "e1", "2024-01-02"),
+            ("u/2", 0, "based_in", "Madrid", "e1", "2024-01-04"),
+            ("u/3", 0, "based_in", "Lisbon", "e1", "2024-01-09"),  # after cutoff
+            ("u/1", 1, "founded_in", "1990", "e1", "2024-01-02"),
+        ],
+    )
+    got = {
+        (r.subj_eid, r.pred): (r.obj, r.fact_date)
+        for r in resolve_facts(linked, as_of="2024-01-05").collect()
+    }
+    assert got == {
+        ("e1", "based_in"): ("Madrid", "2024-01-04"),
+        ("e1", "founded_in"): ("1990", "2024-01-02"),
+    }
+
+
+def test_tie_at_winning_ts_is_deterministic(spark):
+    rows = [
+        ("u/2", 0, "based_in", "Athens", "e1", "2024-01-03"),
+        ("u/9", 0, "based_in", "Zagreb", "e1", "2024-01-03"),
+        ("u/5", 0, "based_in", "Athens", "e1", "2024-01-03"),
+    ]
+    linked = _linked(spark, rows)
+    # obj DESC wins first: Zagreb > Athens
+    [r] = resolve_facts(linked, as_of="2024-01-05").collect()
+    assert (r.obj, r.fact_date) == ("Zagreb", "2024-01-03")
+    # invariant under physical layout
+    [r2] = resolve_facts(linked.repartition(7), as_of="2024-01-05").collect()
+    assert (r2.obj, r2.fact_date) == ("Zagreb", "2024-01-03")
+
+
+def test_null_subj_and_future_only_slots_dropped(spark):
+    linked = _linked(
+        spark,
+        [
+            ("u/1", 0, "based_in", "Berlin", None, "2024-01-02"),
+            ("u/2", 0, "founded_in", "2001", "e2", "2024-02-01"),
+        ],
+    )
+    assert resolve_facts(linked, as_of="2024-01-05").count() == 0
+
+
+def test_detect_conflicts_functional_only(spark):
+    linked = _linked(
+        spark,
+        [
+            # e1 based_in: 2 distinct values over 3 mentions -> flagged
+            ("u/1", 0, "based_in", "Berlin", "e1", "2024-01-01"),
+            ("u/2", 0, "based_in", "Madrid", "e1", "2024-01-02"),
+            ("u/3", 0, "based_in", "Berlin", "e1", "2024-01-03"),
+            # consistent slot -> not flagged
+            ("u/1", 1, "founded_in", "1990", "e1", "2024-01-01"),
+            ("u/4", 0, "founded_in", "1990", "e1", "2024-01-04"),
+            # multi-valued predicate: never flagged even with 2 values
+            ("u/1", 2, "acquired", "Acme", "e1", "2024-01-01"),
+            ("u/2", 2, "acquired", "Zeta", "e1", "2024-01-02"),
+        ],
+    )
+    rows = detect_conflicts(linked).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.subj_eid, r.pred, r.n_values, r.n_mentions) == ("e1", "based_in", 2, 3)
+    assert (r.first_obj, r.last_obj) == ("Berlin", "Madrid")
