@@ -107,13 +107,10 @@ FROM r
 """
 
 
-@_q("warc_cdx_x", _CDX_ORACLE)
-def warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDX-style record index under the driver hash: assemble 8 member
-    streams (bucket = file), walk each ONCE with the real indexer, emit
-    (bucket, url, rec_offset, rec_length, payload_md5). One shuffle on
-    the file key — exactly the per-file index pass a 100 TB dump needs
-    (there binaryFile supplies real files and the shuffle disappears)."""
+def _cdx_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled-stream CDX rows both the inline query and the stored
+    build share: 8 member streams (bucket = file), each walked ONCE by
+    the real indexer."""
     import hashlib
 
     from darkbo_spark.sources.warc import cdx_records
@@ -148,4 +145,74 @@ def warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_bucket,
         "bucket bigint, url string, rec_offset bigint, rec_length bigint,"
         " payload_md5 string",
+    )
+
+
+@_q("warc_cdx_x", _CDX_ORACLE)
+def warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style record index under the driver hash: one shuffle on the
+    file key into the per-file indexing pass — exactly the index build a
+    100 TB dump needs (there binaryFile supplies real files and even that
+    shuffle disappears)."""
+    return _cdx_rows(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Stored CDX serving: the index is only useful if lookups DON'T rescan
+# the dump — publish it once as a SnapshotTable partitioned by url-hash
+# bucket, then serve a url probe set from ONLY the partitions the probes
+# hash into (PartitionFilters, gated in docs/PLANS.md). Same record
+# coordinates as the inline build, driver-hashed through store+prune+join.
+# ---------------------------------------------------------------------------
+
+_CDX_URL_BUCKETS = 16
+_CDX_PROBE_IDS = (3, 57, 101, 164, 222, 255, 303, 342, 371, 398)
+
+
+def _url_bucket_py(url: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(url.encode()).hexdigest()[:15], 16) % _CDX_URL_BUCKETS
+
+
+_CDX_LOOKUP_ORACLE = (
+    f"SELECT * FROM ({_CDX_ORACLE.rstrip()}) WHERE url IN ("
+    + ", ".join(f"'https://w.test/{i}'" for i in _CDX_PROBE_IDS)
+    + ")"
+)
+
+
+@_q("warc_cdx_lookup_x", _CDX_LOOKUP_ORACLE)
+def warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/serve-many for the CDX index: publish the index
+    partitioned by url-hash bucket, then resolve 10 url probes by
+    scanning ONLY their buckets (PartitionFilters) and broadcast-joining
+    the probe set — a lookup touches ~1/16th of the index and ZERO dump
+    bytes, the shape that stays O(probes) at crawl scale."""
+    import pandas as pd
+
+    from darkbo_spark.operators.dedup import portable_hash60
+    from darkbo_spark.queries.common import _stored_table
+
+    table = _stored_table(
+        sf_dir,
+        "warc_cdx",
+        "documents",
+        lambda: _cdx_rows(spark, sf_dir)
+        .withColumn(
+            "url_bucket",
+            F.pmod(portable_hash60(F.col("url")), F.lit(_CDX_URL_BUCKETS)).cast("int"),
+        )
+        .repartition("url_bucket"),
+        partition_by=["url_bucket"],
+        tag=f"url_bucket{_CDX_URL_BUCKETS}",
+    )
+    probes = [f"https://w.test/{i}" for i in _CDX_PROBE_IDS]
+    need = sorted({_url_bucket_py(u) for u in probes})
+    probe_df = spark.createDataFrame(pd.DataFrame({"url": probes}))
+    return (
+        table.read(spark)
+        .filter(F.col("url_bucket").isin(need))
+        .join(F.broadcast(probe_df), "url")
+        .select("bucket", "url", "rec_offset", "rec_length", "payload_md5")
     )

@@ -147,6 +147,13 @@ CHECKS = {
     # funnel (on a real dump binaryFile supplies the files and even that
     # one exchange disappears)
     "warc_cdx_x": ["FlatMapGroupsInPandas", "hashpartitioning", "!SinglePartition"],
+    # --- stored CDX lookup: the probe serve must scan ONLY the buckets
+    # the probe urls hash into (partition pruning at the stored scan) and
+    # join the probe set broadcast — never a product or a full-index scan
+    "warc_cdx_lookup_x": [
+        "PartitionFilters: [url_bucket", "BroadcastHashJoin",
+        "!CartesianProduct", "!SortMergeJoin",
+    ],
     # --- boolean search: clause matches are broadcast term joins, the
     # final rank one top-k — no product anywhere in the OR/NOT machinery
     "parsed_search_boolean_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
