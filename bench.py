@@ -108,6 +108,13 @@ HEADLINE = [
     "parsed_search_fielded_x",
     "bpe_word_freqs_x",
     "host_components_x",
+    # round 6 additions
+    "dup_span_trim_bytes_x",
+    "anchor_entity_links_x",
+    "kg_entity_cooccurrence_x",
+    "warc_cdx_x",
+    "kg_facts_asof_x",
+    "kg_fact_conflicts_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
@@ -173,6 +180,7 @@ def main() -> int:
     for name, stored_name in (
         ("parsed_search_stored", "bm25_postings"),
         ("ann_ivf_stored", "ivf_index"),
+        ("warc_cdx_lookup_x", "warc_cdx"),
     ):
         fn = qs[name]
         drop_stored_table(stored_name)
