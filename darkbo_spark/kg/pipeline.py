@@ -73,6 +73,7 @@ def run_pipeline(
     input_fingerprint: str | None = None,
     cc_mode: str = "auto",
     fuzzy_fallback: str | None = None,
+    facts_asof: str | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; every stage is fingerprint-gated.
 
@@ -80,6 +81,13 @@ def run_pipeline(
     "jaccard" or "embed" — second-chance linking for surfaces that miss
     the exact join (kg/link.apply_fuzzy_fallback). Part of the kg_triples
     stage fingerprint, so toggling it republishes.
+
+    `facts_asof`: optional 'YYYY-MM-DD' cutoff — adds the temporal fusion
+    stages (kg/temporal.py): `kg_facts` (latest-wins fact state as of the
+    cutoff) and `kg_conflicts` (functional-violation inventory). The
+    cutoff is part of the stage fingerprint, so moving it recomputes ONLY
+    these two dictionary-bounded stages — the crawl-scale path for "give
+    me yesterday's fact state" without re-extracting anything.
 
     The whole run holds the single-writer BuildLock (I2): concurrent
     publishers would otherwise race on the same v{seq} dir and expire()
@@ -97,6 +105,7 @@ def run_pipeline(
             write_salt, input_fingerprint, cc_mode, res, run_t0,
             heartbeat=lambda: lock.heartbeat(lock_owner),
             fuzzy_fallback=fuzzy_fallback,
+            facts_asof=facts_asof,
         )
     finally:
         lock.release(lock_owner)
@@ -117,6 +126,7 @@ def _run_locked(
     run_t0: float,
     heartbeat=lambda: None,
     fuzzy_fallback: str | None = None,
+    facts_asof: str | None = None,
 ) -> PipelineResult:
     if pages is None:
         # html is omitted: the extract stage reads `text` only, and a real
@@ -264,6 +274,29 @@ def _run_locked(
         f"_fb_{fuzzy_fallback or 'none'}",
         build_kg,
     )
+
+    # ---- optional temporal fusion: facts as-of + conflict inventory ------
+    # Depends on kg_triples AND docs (the per-page crawl date joins back on
+    # the page key — at crawl scale a co-keyed join, never a product).
+    # Output is fact-slot-bounded (entities × functional predicates), so
+    # the dictionary-stage write convention (coalesce(1)) applies.
+    if facts_asof:
+        from darkbo_spark.kg.temporal import detect_conflicts, resolve_facts
+
+        def _linked_with_ts():
+            return kg_tbl.read(spark).join(
+                docs_tbl.read(spark).select("url", "warc_ts"), "url"
+            )
+
+        def build_facts():
+            return resolve_facts(_linked_with_ts(), as_of=facts_asof).coalesce(1), None
+
+        stage("kg_facts", fp_k + fp_d, f"asof_{facts_asof}_v1", build_facts)
+
+        def build_conflicts():
+            return detect_conflicts(_linked_with_ts()).coalesce(1), None
+
+        stage("kg_conflicts", fp_k + fp_d, "conflicts_v1", build_conflicts)
 
     if metrics_rows:
         import pandas as pd

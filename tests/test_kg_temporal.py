@@ -91,3 +91,35 @@ def test_detect_conflicts_functional_only(spark):
     r = rows[0]
     assert (r.subj_eid, r.pred, r.n_values, r.n_mentions) == ("e1", "based_in", 2, 3)
     assert (r.first_obj, r.last_obj) == ("Berlin", "Madrid")
+
+
+def test_pipeline_facts_stages(spark, tmp_path):
+    """facts_asof adds the fingerprint-gated fusion stages: published
+    once, skipped on rerun, recomputed alone when the cutoff moves, and
+    equal to resolve_facts/detect_conflicts applied directly."""
+    from darkbo_spark.kg.pipeline import run_pipeline
+
+    out = str(tmp_path / "kg")
+    res = run_pipeline(spark, out, n_pages=200, seed=7, facts_asof="2024-01-02")
+    assert "kg_facts" in res.stages_run and "kg_conflicts" in res.stages_run
+
+    linked = res.tables["kg_triples"].read(spark).join(
+        res.tables["docs"].read(spark).select("url", "warc_ts"), "url"
+    )
+    want_facts = {
+        tuple(r) for r in resolve_facts(linked, as_of="2024-01-02").collect()
+    }
+    got_facts = {tuple(r) for r in res.tables["kg_facts"].read(spark).collect()}
+    assert got_facts == want_facts and got_facts
+    want_conf = {tuple(r) for r in detect_conflicts(linked).collect()}
+    got_conf = {tuple(r) for r in res.tables["kg_conflicts"].read(spark).collect()}
+    assert got_conf == want_conf
+
+    res2 = run_pipeline(spark, out, n_pages=200, seed=7, facts_asof="2024-01-02")
+    assert not res2.stages_run  # everything (incl. fusion stages) skipped
+
+    # moving the cutoff recomputes ONLY the cutoff-dependent stage
+    # (kg_conflicts doesn't read as_of — its fingerprint is unchanged)
+    res3 = run_pipeline(spark, out, n_pages=200, seed=7, facts_asof="2023-12-31")
+    assert set(res3.stages_run) == {"kg_facts"}
+    assert res3.tables["kg_facts"].read(spark).count() == 0  # all pages after cutoff
