@@ -115,6 +115,8 @@ HEADLINE = [
     "warc_cdx_x",
     "kg_facts_asof_x",
     "kg_fact_conflicts_x",
+    "kg_entity_types_x",
+    "kg_fact_support_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

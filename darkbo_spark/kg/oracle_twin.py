@@ -670,3 +670,42 @@ GROUP BY subj_eid, pred
 HAVING COUNT(DISTINCT obj) > 1
 ORDER BY subj_eid, pred
 """
+
+
+def entity_types_oracle_sql(id_limit: int = 240) -> str:
+    """entity_types replay: modal is_a type per entity, ties to the
+    lexicographically smallest type."""
+    return f"""{_linked_ts_cte(id_limit)},
+tc AS (
+  SELECT subj_eid, obj AS entity_type, CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM lt WHERE pred = 'is_a'
+  GROUP BY subj_eid, obj
+),
+rk AS (
+  SELECT subj_eid, entity_type, n_mentions,
+         ROW_NUMBER() OVER (PARTITION BY subj_eid
+                            ORDER BY n_mentions DESC, entity_type ASC) AS rk
+  FROM tc
+)
+SELECT subj_eid, entity_type, n_mentions FROM rk WHERE rk = 1
+ORDER BY subj_eid
+"""
+
+
+def fact_support_oracle_sql(id_limit: int = 240) -> str:
+    """fact_support replay: distinct-page support per (slot, value) and
+    its 6dp share of the slot's evidence mass (float discipline: both
+    operands cast to DOUBLE before the divide — DuckDB SUM(BIGINT) is
+    HUGEINT and must not reach the driver canon uncast)."""
+    return f"""{_linked_ts_cte(id_limit)},
+pf AS (
+  SELECT subj_eid, pred, obj, CAST(COUNT(DISTINCT url) AS BIGINT) AS support
+  FROM lt GROUP BY subj_eid, pred, obj
+)
+SELECT subj_eid, pred, obj, support,
+       round(CAST(support AS DOUBLE)
+             / CAST(SUM(support) OVER (PARTITION BY subj_eid, pred) AS DOUBLE),
+             6) AS confidence
+FROM pf
+ORDER BY subj_eid, pred, obj
+"""

@@ -58,6 +58,55 @@ def resolve_facts(
     )
 
 
+def entity_types(linked: DataFrame) -> DataFrame:
+    """Majority-vote type assignment: each entity's `is_a` assertions
+    across the corpus are tallied and the modal type wins (ties break to
+    the lexicographically smallest type, so the published type table is
+    deterministic). The ontology layer of KG construction — one count
+    aggregate + one window over the entity key.
+    Returns (subj_eid, entity_type, n_mentions)."""
+    counts = (
+        linked.filter(F.col("subj_eid").isNotNull() & (F.col("pred") == "is_a"))
+        .groupBy("subj_eid", F.col("obj").alias("entity_type"))
+        .agg(F.count("*").cast("bigint").alias("n_mentions"))
+    )
+    w = Window.partitionBy("subj_eid").orderBy(
+        F.col("n_mentions").desc(), F.col("entity_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("subj_eid", "entity_type", "n_mentions")
+    )
+
+
+def fact_support(linked: DataFrame) -> DataFrame:
+    """Per-fact provenance strength: support = distinct pages asserting
+    (subj_eid, pred, obj); confidence = that value's share of the slot's
+    total page-assertions (a page asserting two values counts toward
+    each value it asserts — the per-value evidence mass, not a page
+    partition). One aggregate on the fact key, then one unordered window
+    sum over the slot key — the window's exchange moves only the
+    ALREADY-COLLAPSED fact table (one row per distinct value), never the
+    mention stream. Returns (subj_eid, pred, obj, support, confidence)."""
+    per_fact = (
+        linked.filter(F.col("subj_eid").isNotNull())
+        .groupBy("subj_eid", "pred", "obj")
+        .agg(F.countDistinct("url").cast("bigint").alias("support"))
+    )
+    w = Window.partitionBy("subj_eid", "pred")
+    return per_fact.select(
+        "subj_eid",
+        "pred",
+        "obj",
+        "support",
+        F.round(
+            F.col("support").cast("double") / F.sum("support").over(w).cast("double"),
+            6,
+        ).alias("confidence"),
+    )
+
+
 def detect_conflicts(
     linked: DataFrame, functional_preds: tuple[str, ...] = FUNCTIONAL_PREDS
 ) -> DataFrame:

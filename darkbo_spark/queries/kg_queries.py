@@ -444,3 +444,33 @@ def kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.kg.temporal import detect_conflicts
 
     return detect_conflicts(_dated_linked_twin(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Ontology + provenance layers of fusion: majority-vote entity typing and
+# per-fact support/confidence, both over the same crawl-dated linked twin
+# and both replayed end to end in DuckDB.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import (  # noqa: E402
+    entity_types_oracle_sql,
+    fact_support_oracle_sql,
+)
+
+
+@_q("kg_entity_types_x", entity_types_oracle_sql(240))
+def kg_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal is_a type per entity (ties lexicographic) — the ontology
+    assignment every downstream consumer filters on."""
+    from darkbo_spark.kg.temporal import entity_types
+
+    return entity_types(_dated_linked_twin(spark, sf_dir))
+
+
+@_q("kg_fact_support_x", fact_support_oracle_sql(240))
+def kg_fact_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-page support and 6dp evidence share per (slot, value) —
+    the provenance strength the conflict worklist ranks by."""
+    from darkbo_spark.kg.temporal import fact_support
+
+    return fact_support(_dated_linked_twin(spark, sf_dir))

@@ -178,6 +178,16 @@ CHECKS = {
         "Window", "hashpartitioning", "BroadcastHashJoin",
         "!SinglePartition", "!CartesianProduct",
     ],
+    # --- entity typing: one count aggregate + one window, both on the
+    # entity key — hash-partitioned, no funnel, no product
+    "kg_entity_types_x": [
+        "Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
+    ],
+    # --- fact support: the window's exchange moves the collapsed fact
+    # table, never the mention stream; no funnel, no product
+    "kg_fact_support_x": [
+        "Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
+    ],
     # --- conflict inventory: partial-then-final aggregates on the same
     # fact key (SortAggregate — the string min/max buffers are var-length,
     # so Spark picks the sort-based form; still map-side combined before

@@ -123,3 +123,46 @@ def test_pipeline_facts_stages(spark, tmp_path):
     res3 = run_pipeline(spark, out, n_pages=200, seed=7, facts_asof="2023-12-31")
     assert set(res3.stages_run) == {"kg_facts"}
     assert res3.tables["kg_facts"].read(spark).count() == 0  # all pages after cutoff
+
+
+def test_entity_types_majority_and_tie(spark):
+    from darkbo_spark.kg.temporal import entity_types
+
+    linked = _linked(
+        spark,
+        [
+            ("u/1", 0, "is_a", "startup", "e1", "2024-01-01"),
+            ("u/2", 0, "is_a", "startup", "e1", "2024-01-02"),
+            ("u/3", 0, "is_a", "firm", "e1", "2024-01-03"),
+            # e2: 1-1 tie -> lexicographically smallest type wins
+            ("u/1", 1, "is_a", "university", "e2", "2024-01-01"),
+            ("u/2", 1, "is_a", "agency", "e2", "2024-01-02"),
+            # non-is_a assertions never type
+            ("u/4", 0, "based_in", "Berlin", "e3", "2024-01-01"),
+        ],
+    )
+    got = {
+        r.subj_eid: (r.entity_type, r.n_mentions)
+        for r in entity_types(linked).collect()
+    }
+    assert got == {"e1": ("startup", 2), "e2": ("agency", 1)}
+
+
+def test_fact_support_confidence(spark):
+    from darkbo_spark.kg.temporal import fact_support
+
+    linked = _linked(
+        spark,
+        [
+            # Berlin asserted by 2 distinct pages (u/1 twice: distinct-url),
+            # Madrid by 1 -> confidence 2/3 and 1/3
+            ("u/1", 0, "based_in", "Berlin", "e1", "2024-01-01"),
+            ("u/1", 1, "based_in", "Berlin", "e1", "2024-01-01"),
+            ("u/2", 0, "based_in", "Berlin", "e1", "2024-01-02"),
+            ("u/3", 0, "based_in", "Madrid", "e1", "2024-01-03"),
+        ],
+    )
+    got = {
+        r.obj: (r.support, r.confidence) for r in fact_support(linked).collect()
+    }
+    assert got == {"Berlin": (2, 0.666667), "Madrid": (1, 0.333333)}
