@@ -217,6 +217,14 @@ def main() -> int:
     kg_wall = time.time() - t0
     timings["kg_pipeline"] = round(kg_wall, 3)
 
+    # temporal fusion delta cost: the 5 core stages just published, so a
+    # facts_asof rerun skips them all and times ONLY the kg_facts +
+    # kg_conflicts stages — the marginal cost of "give me the fact state
+    # as of date X" on an already-built KG
+    t0 = time.time()
+    run_pipeline(spark, out, n_pages=KG_PAGES, seed=42, facts_asof="2024-01-02")
+    timings["kg_facts_stages"] = round(time.time() - t0, 3)
+
     # maintenance: compact-then-expire on a DELIBERATELY fragmented copy
     # of the real KG output (2000 sliver files — the shape months of
     # incremental ingest deltas leave behind), full-scan read timed
