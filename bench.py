@@ -117,6 +117,7 @@ HEADLINE = [
     "kg_fact_conflicts_x",
     "kg_entity_types_x",
     "kg_fact_support_x",
+    "kg_entity_profiles_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

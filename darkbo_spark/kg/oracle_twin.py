@@ -709,3 +709,47 @@ SELECT subj_eid, pred, obj, support,
 FROM pf
 ORDER BY subj_eid, pred, obj
 """
+
+
+def entity_profile_oracle_sql(id_limit: int = 240) -> str:
+    """entity_profiles replay: modal type + distinct-fact count + in/out
+    degree over the union universe (edge-set entities ∪ fact-asserting
+    entities), every piece re-derived from the same pipeline CTEs."""
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    return f"""{_linked_edges_ctes(id_limit)},
+lt AS (
+  SELECT t.url, t.pred, t.obj, ds.eid AS subj_eid
+  FROM triples t
+  JOIN dict_norm ds ON {norm.format(c='t.subj')} = ds.alias_norm
+),
+od AS (SELECT src AS eid, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+id_ AS (SELECT dst AS eid, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY dst),
+tc AS (
+  SELECT subj_eid, obj AS entity_type, COUNT(*) AS n
+  FROM lt WHERE pred = 'is_a' GROUP BY subj_eid, obj
+),
+ty AS (
+  SELECT subj_eid AS eid, entity_type FROM (
+    SELECT subj_eid, entity_type,
+           ROW_NUMBER() OVER (PARTITION BY subj_eid
+                              ORDER BY n DESC, entity_type ASC) AS rk
+    FROM tc
+  ) WHERE rk = 1
+),
+fc AS (
+  SELECT subj_eid AS eid,
+         CAST(COUNT(DISTINCT pred || chr(31) || obj) AS BIGINT) AS n_facts
+  FROM lt GROUP BY subj_eid
+),
+pn AS (SELECT node AS eid FROM nodes UNION SELECT DISTINCT subj_eid FROM lt)
+SELECT pn.eid, ty.entity_type,
+       CAST(COALESCE(fc.n_facts, 0) AS BIGINT) AS n_facts,
+       CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(id_.in_deg, 0) AS BIGINT) AS in_deg
+FROM pn
+LEFT JOIN ty ON ty.eid = pn.eid
+LEFT JOIN fc ON fc.eid = pn.eid
+LEFT JOIN od ON od.eid = pn.eid
+LEFT JOIN id_ ON id_.eid = pn.eid
+ORDER BY pn.eid
+"""

@@ -107,6 +107,50 @@ def fact_support(linked: DataFrame) -> DataFrame:
     )
 
 
+def entity_profiles(linked: DataFrame) -> DataFrame:
+    """The entity page a constructed KG serves: one row per entity with
+    its modal type (null when never typed), distinct asserted fact count,
+    and in/out degree over the fully-resolved edge set. Universe =
+    entities in the edge set ∪ entities asserting any fact (a full-outer
+    join of two aggregates — every join here keys on the entity id, so
+    the composition adds no shape a 100 TB corpus hasn't already paid
+    for in the parts). Returns (eid, entity_type, n_facts, out_deg,
+    in_deg)."""
+    from darkbo_spark.operators.graph import degree_centrality
+
+    edges = linked.filter(
+        F.col("subj_eid").isNotNull() & F.col("obj_eid").isNotNull()
+    ).select(F.col("subj_eid").alias("src"), F.col("obj_eid").alias("dst"))
+    deg = degree_centrality(edges).select(
+        F.col("node").alias("eid"), "out_deg", "in_deg"
+    )
+    ty = entity_types(linked).select(
+        F.col("subj_eid").alias("eid"), "entity_type"
+    )
+    # fact identity = (pred, value) joined on a non-text separator — obj
+    # is free text and must not merge with pred under a printable glue
+    fc = (
+        linked.filter(F.col("subj_eid").isNotNull())
+        .groupBy(F.col("subj_eid").alias("eid"))
+        .agg(
+            F.countDistinct(F.concat_ws("\x1f", "pred", "obj"))
+            .cast("bigint")
+            .alias("n_facts")
+        )
+    )
+    return (
+        deg.join(fc, "eid", "full_outer")
+        .join(ty, "eid", "left")
+        .select(
+            "eid",
+            "entity_type",
+            F.coalesce("n_facts", F.lit(0)).cast("bigint").alias("n_facts"),
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+        )
+    )
+
+
 def detect_conflicts(
     linked: DataFrame, functional_preds: tuple[str, ...] = FUNCTIONAL_PREDS
 ) -> DataFrame:

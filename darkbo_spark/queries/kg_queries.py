@@ -474,3 +474,17 @@ def kg_fact_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.kg.temporal import fact_support
 
     return fact_support(_dated_linked_twin(spark, sf_dir))
+
+
+from darkbo_spark.kg.oracle_twin import entity_profile_oracle_sql  # noqa: E402
+
+
+@_q("kg_entity_profiles_x", entity_profile_oracle_sql(240))
+def kg_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the entity page: modal type + distinct
+    fact count + degrees over the union universe, every constituent
+    aggregate independently oracled and the composition under one more
+    driver hash."""
+    from darkbo_spark.kg.temporal import entity_profiles
+
+    return entity_profiles(_dated_linked_twin(spark, sf_dir))

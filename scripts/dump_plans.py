@@ -188,6 +188,11 @@ CHECKS = {
     "kg_fact_support_x": [
         "Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
     ],
+    # --- entity profile capstone: aggregates + modal-type window + the
+    # final entity-key joins — everything keys on eid, no funnel/product
+    "kg_entity_profiles_x": [
+        "Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
+    ],
     # --- conflict inventory: partial-then-final aggregates on the same
     # fact key (SortAggregate — the string min/max buffers are var-length,
     # so Spark picks the sort-based form; still map-side combined before

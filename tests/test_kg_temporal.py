@@ -166,3 +166,30 @@ def test_fact_support_confidence(spark):
         r.obj: (r.support, r.confidence) for r in fact_support(linked).collect()
     }
     assert got == {"Berlin": (2, 0.666667), "Madrid": (1, 0.333333)}
+
+
+def test_entity_profiles_union_universe(spark):
+    from darkbo_spark.kg.temporal import entity_profiles
+
+    linked_rows = [
+        # e1 -> e2 edge; e1 typed + asserts 2 distinct facts
+        ("u/1", 0, "acquired", "Zeta Corp", "e1", "2024-01-01"),
+        ("u/2", 0, "is_a", "firm", "e1", "2024-01-02"),
+        # e3 asserts a fact but never resolves an object -> no edges
+        ("u/3", 0, "founded_in", "1990", "e3", "2024-01-03"),
+    ]
+    df = pd.DataFrame(
+        linked_rows, columns=["url", "sent_idx", "pred", "obj", "subj_eid", "d"]
+    )
+    df["obj_eid"] = [ "e2", None, None ]
+    sdf = spark.createDataFrame(df).select(
+        "url", F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "pred", "obj", "subj_eid", "obj_eid", F.to_date("d").alias("warc_ts"),
+    )
+    got = {r.eid: (r.entity_type, r.n_facts, r.out_deg, r.in_deg)
+           for r in entity_profiles(sdf).collect()}
+    assert got == {
+        "e1": ("firm", 2, 1, 0),
+        "e2": (None, 0, 0, 1),   # edge target only: in the universe, untyped
+        "e3": (None, 1, 0, 0),   # fact-asserting but edge-less: still present
+    }
