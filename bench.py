@@ -113,6 +113,7 @@ HEADLINE = [
     "anchor_entity_links_x",
     "kg_entity_cooccurrence_x",
     "warc_cdx_x",
+    "warc_revisit_resolve_x",
     "kg_facts_asof_x",
     "kg_fact_conflicts_x",
     "kg_entity_types_x",

@@ -62,24 +62,25 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # entries keep their green rows on record in CORRECTNESS_r0{1..5}.json and
 # stay verified by scripts/oracle_check.py (all queries, every session).
 #
-# Round-6 window: 12 never-sampled (this round's new oracled queries:
+# Round-6 window: 13 never-sampled (this round's new oracled queries:
 # byte-trim, stored boolean/fielded serve, anchor-text entity evidence,
-# entity co-occurrence PMI, CDX index + stored CDX lookup, temporal fact
-# resolution + conflict inventory, entity typing + fact support +
-# profile capstone) + all 9 r3-stale + 22 of the 41 r4-stale + 7
+# entity co-occurrence PMI, CDX index + stored CDX lookup + revisit
+# resolution, temporal fact resolution + conflict inventory, entity
+# typing + fact support + profile capstone) + all 9 r3-stale + 21 of
+# the 41 r4-stale + 7
 # refreshes of r5-green entries whose code round 6 touched (spans
 # byte-trim rework, warc gzip, domains full-PSL, semdedup learned
 # quantizer, queryparse stored routing, retrieval stored-serve plumbing —
 # the inline boolean/fielded forms cede their refresh slots to their new
-# stored twins, which drive the same matcher). The 19 r4 entries left out
+# stored twins, which drive the same matcher). The 20 r4 entries left out
 # (TPC-H star/event aggregates on untouched code paths: q1/q3/q5,
 # region/lineitem rollups, pivot, grouping sets, first-window,
 # heavy-hitters/user-counts exact, as-of, chunk_documents_x, plus
 # url_dedup_counts / url_canonicalize / unigram_logprob_scores /
 # shard_pack_x / redact_pii_docs / repetition_signals /
-# dedup_keep_best_x, which ceded their slots to this round's new
-# oracled queries) sit at staleness exactly 2 and lead the round-7
-# window.
+# dedup_keep_best_x / embed_documents_x, which ceded their slots to
+# this round's new oracled queries) sit at staleness exactly 2 and
+# lead the round-7 window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -91,6 +92,7 @@ _DRIVER_WINDOW = [
     "kg_entity_cooccurrence_x",
     "warc_cdx_x",
     "warc_cdx_lookup_x",
+    "warc_revisit_resolve_x",
     "kg_facts_asof_x",
     "kg_fact_conflicts_x",
     "kg_entity_types_x",
@@ -111,7 +113,6 @@ _DRIVER_WINDOW = [
     "bm25_topk",
     "clean_text_parity",
     "decontaminate_x",
-    "embed_documents_x",
     "embed_link_candidates_x",
     "flagship_relevance_topk",
     "fuzzy_link_parts",

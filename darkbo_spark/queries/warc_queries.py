@@ -216,3 +216,116 @@ def warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probe_df), "url")
         .select("bucket", "url", "rec_offset", "rec_length", "payload_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revisit resolution oracle: every doc whose id hits the dangling rule
+# becomes a revisit of a digest no response carries (must stay visible as
+# unresolved); every doc_id%3==2 with an in-bucket predecessor becomes a
+# revisit of doc_id-8's payload (same bucket, earlier stream position);
+# everything else is a response carrying its own digest. Spark assembles
+# real WARC bytes per bucket, runs the REAL parser + resolver; DuckDB
+# replays the outcome arithmetically (the byte-level parse itself is
+# already pinned by warc_parse_x / warc_cdx_x).
+# ---------------------------------------------------------------------------
+
+_REVISIT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS bucket, text FROM documents WHERE doc_id < 400
+),
+r AS (
+  SELECT d.doc_id, d.bucket, d.text, p.text AS ref_text
+  FROM d LEFT JOIN d p ON p.doc_id = d.doc_id - 8
+)
+SELECT 'https://w.test/' || CAST(doc_id AS STRING) AS url,
+       CASE WHEN doc_id % 31 = 5 THEN 'revisit'
+            WHEN doc_id % 3 = 2 AND doc_id >= 8 THEN 'revisit'
+            ELSE 'response' END AS rec_type,
+       -- a revisit resolves only if its referent is itself a RESPONSE;
+       -- a referent that hit the dangling rule became a revisit, so its
+       -- digest has no response and the chain stays visibly unresolved
+       CASE WHEN doc_id % 31 = 5 THEN NULL
+            WHEN doc_id % 3 = 2 AND doc_id >= 8
+                 THEN CASE WHEN (doc_id - 8) % 31 = 5 THEN NULL
+                           ELSE md5(ref_text) END
+            ELSE md5(text) END AS payload_md5,
+       CASE WHEN doc_id % 31 = 5 THEN CAST(0 AS BIGINT)
+            WHEN doc_id % 3 = 2 AND doc_id >= 8 AND (doc_id - 8) % 31 = 5
+                 THEN CAST(0 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END AS resolved
+FROM r
+"""
+
+
+@_q("warc_revisit_resolve_x", _REVISIT_ORACLE)
+def warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit records through the REAL byte path: digest-carrying
+    response/revisit records are serialized into 8 member streams,
+    parsed back, and resolve_revisits re-attaches bodies by digest join
+    — dangling digests surface as resolved=0 with a null md5."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from darkbo_spark.sources.warc import parse_warc_bytes_indexed, resolve_revisits
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    w = Window.partitionBy(F.col("doc_id") % 8).orderBy("doc_id")
+    ref_md5 = F.md5(F.encode(F.lag("text").over(w), "utf-8"))
+    own_md5 = F.md5(F.encode(F.col("text"), "utf-8"))
+    dangling = F.col("doc_id") % 31 == 5
+    is_rev = dangling | ((F.col("doc_id") % 3 == 2) & (F.col("doc_id") >= 8))
+    digest = F.concat(
+        F.lit("md5:"),
+        F.when(dangling, F.lit("DANGLING"))
+        .when(is_rev, ref_md5)
+        .otherwise(own_md5),
+    )
+    body = F.when(is_rev, F.lit("")).otherwise(F.col("text"))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "),
+        F.when(is_rev, F.lit("revisit")).otherwise(F.lit("response")),
+        F.lit("\r\nWARC-Target-URI: https://w.test/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Payload-Digest: "),
+        digest,
+        F.lit("\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    rec_df = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("bucket"),
+        F.encode(rec, "utf-8").alias("rec"),
+    )
+
+    def parse_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        stream = b"".join(bytes(b) + b"\r\n\r\n" for b in pdf["rec"])
+        rows = [
+            (r["url"], r["rec_type"], r["payload"], r["payload_digest"])
+            for r in parse_warc_bytes_indexed(stream)
+        ]
+        return pd.DataFrame(
+            rows, columns=["url", "rec_type", "payload", "payload_digest"]
+        )
+
+    records = rec_df.groupBy("bucket").applyInPandas(
+        parse_bucket,
+        "url string, rec_type string, payload binary, payload_digest string",
+    )
+    md5_hex = F.pandas_udf(
+        lambda s: s.map(
+            lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
+        ),
+        "string",
+    )
+    return resolve_revisits(records).select(
+        "url",
+        "rec_type",
+        md5_hex(F.col("payload")).alias("payload_md5"),
+        "resolved",
+    )

@@ -53,6 +53,7 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("rec_type", StringType()),
         StructField("content_length", LongType()),
         StructField("payload", BinaryType()),
+        StructField("payload_digest", StringType()),
     ]
 )
 
@@ -99,6 +100,9 @@ def parse_warc_bytes_indexed(data: bytes) -> Iterator[dict]:
             "rec_type": headers.get("warc-type", ""),
             "content_length": length,
             "payload": data[body_start : body_start + length],
+            # CC writes this on response AND revisit records ("sha1:B32…");
+            # revisit resolution joins on it (resolve_revisits)
+            "payload_digest": headers.get("warc-payload-digest", ""),
             "offset": start,
             "length": (body_start + length) - start,
         }
@@ -112,6 +116,7 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
     for rec in parse_warc_bytes_indexed(data):
         rec.pop("offset")
         rec.pop("length")
+        rec.pop("payload_digest")
         yield rec
 
 
@@ -165,11 +170,17 @@ def http_body(payload: bytes) -> bytes:
 
 def _record_bytes(r: dict) -> bytes:
     payload = r["payload"]
+    digest = (
+        f"WARC-Payload-Digest: {r['payload_digest']}\r\n"
+        if r.get("payload_digest")
+        else ""
+    )
     hdr = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {r.get('rec_type', 'response')}\r\n"
         f"WARC-Target-URI: {r.get('url', '')}\r\n"
         f"WARC-Date: {r.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"
+        f"{digest}"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode("ascii")
     return hdr + payload + b"\r\n\r\n"
@@ -280,17 +291,58 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("content")
 
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                rows.extend(parse_warc_bytes(maybe_gunzip(bytes(content))))
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "warc_date", "rec_type", "content_length", "payload"],
-            )
+                for rec in parse_warc_bytes_indexed(maybe_gunzip(bytes(content))):
+                    rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, WARC_RECORD_SCHEMA)
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Common Crawl's fetch-dedup layer: a `revisit` record stores NO
+    body, only the payload digest of an earlier identical fetch —
+    resolution re-attaches the bytes so downstream sees every fetch with
+    content. One digest-keyed join: responses elect a deterministic
+    canonical payload per digest (min-url representative — duplicate
+    fetches are byte-identical by definition, so the choice only breaks
+    metadata ties), revisits left-join it; a dangling digest (its
+    response fell in another segment / a torn tail) stays unresolved
+    (resolved=0, payload null) rather than dropping the row — the
+    lossy-ness is visible, never silent. Scale shape: the join key is
+    the content digest (high-cardinality, near-unique), so the shuffle
+    is as fine-grained as a join gets; responses pass through untouched.
+    Returns the record columns + `resolved` (0/1 bigint)."""
+    resp = records.filter(F.col("rec_type") == "response")
+    canon = (
+        resp.filter(F.col("payload_digest") != "")
+        .groupBy("payload_digest")
+        .agg(F.min_by("payload", "url").alias("_canon_payload"))
+    )
+    cols = [c for c in records.columns]
+    revisit = (
+        records.filter(F.col("rec_type") == "revisit")
+        .drop("payload")
+        .join(canon, "payload_digest", "left")
+        .select(
+            *[c for c in cols if c != "payload"],
+            F.col("_canon_payload").alias("payload"),
+        )
+        .withColumn(
+            "resolved", F.col("payload").isNotNull().cast("bigint")
+        )
+    )
+    passthrough = records.filter(
+        ~F.col("rec_type").isin("revisit")
+    ).withColumn("resolved", F.lit(1).cast("bigint"))
+    return passthrough.select(*cols, "resolved").unionByName(
+        revisit.select(*cols, "resolved")
+    )
 
 
 def pages_from_warc(records: DataFrame) -> DataFrame:

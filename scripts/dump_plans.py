@@ -154,6 +154,10 @@ CHECKS = {
         "PartitionFilters: [url_bucket", "BroadcastHashJoin",
         "!CartesianProduct", "!SortMergeJoin",
     ],
+    # --- revisit resolution: the body re-attach is an equi-join on the
+    # content digest (near-unique key) — never a product; responses pass
+    # through without a shuffle of their payloads
+    "warc_revisit_resolve_x": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # --- boolean search: clause matches are broadcast term joins, the
     # final rank one top-k — no product anywhere in the OR/NOT machinery
     "parsed_search_boolean_x": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],

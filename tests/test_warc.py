@@ -255,3 +255,55 @@ def test_warc_cdx_index_distributed(spark, tmp_path):
         rec = fetch_warc_record(by_file[fpath], r.rec_offset, r.rec_length)
         assert rec is not None and rec["url"] == r.url
         assert hashlib.md5(rec["payload"]).hexdigest() == r.payload_md5
+
+
+# ------------------------------------------------------------- revisits
+
+
+def test_resolve_revisits_roundtrip(spark, tmp_path):
+    """response + resolving revisit + dangling revisit through the real
+    file path: bodies re-attach by digest, dangling stays visible."""
+    from darkbo_spark.sources.warc import read_warc, resolve_revisits
+
+    body = b"<html>the original fetch</html>"
+    recs = [
+        dict(_rec("https://r.test/orig", body), payload_digest="md5:aaa"),
+        dict(
+            _rec("https://r.test/again", b"", rec_type="revisit"),
+            payload_digest="md5:aaa",
+        ),
+        dict(
+            _rec("https://r.test/lost", b"", rec_type="revisit"),
+            payload_digest="md5:zzz",
+        ),
+    ]
+    p = str(tmp_path / "rv.warc")
+    write_warc(recs, p)
+    out = {r.url: r for r in resolve_revisits(read_warc(spark, p)).collect()}
+    assert out["https://r.test/orig"].resolved == 1
+    assert bytes(out["https://r.test/again"].payload) == body
+    assert out["https://r.test/again"].resolved == 1
+    assert out["https://r.test/lost"].payload is None
+    assert out["https://r.test/lost"].resolved == 0
+
+
+def test_resolve_revisits_deterministic_canonical(spark):
+    """Two responses sharing a digest (same bytes by definition): the
+    revisit joins exactly one canonical payload — no row duplication."""
+    from darkbo_spark.sources.warc import resolve_revisits
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u/b", "u/a", "u/rev"],
+            "warc_date": ["d"] * 3,
+            "rec_type": ["response", "response", "revisit"],
+            "content_length": [1, 1, 0],
+            "payload": [b"X", b"X", None],
+            "payload_digest": ["md5:x", "md5:x", "md5:x"],
+        }
+    )
+    out = resolve_revisits(spark.createDataFrame(pdf)).filter(
+        F.col("rec_type") == "revisit"
+    ).collect()
+    assert len(out) == 1
+    assert bytes(out[0].payload) == b"X" and out[0].resolved == 1
