@@ -119,6 +119,8 @@ HEADLINE = [
     "kg_entity_types_x",
     "kg_fact_support_x",
     "kg_entity_profiles_x",
+    "kg_fact_history_x",
+    "kg_nil_candidates_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

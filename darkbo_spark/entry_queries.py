@@ -62,25 +62,26 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # entries keep their green rows on record in CORRECTNESS_r0{1..5}.json and
 # stay verified by scripts/oracle_check.py (all queries, every session).
 #
-# Round-6 window: 13 never-sampled (this round's new oracled queries:
+# Round-6 window: 15 never-sampled (this round's new oracled queries:
 # byte-trim, stored boolean/fielded serve, anchor-text entity evidence,
 # entity co-occurrence PMI, CDX index + stored CDX lookup + revisit
 # resolution, temporal fact resolution + conflict inventory, entity
-# typing + fact support + profile capstone) + all 9 r3-stale + 21 of
-# the 41 r4-stale + 7
+# typing + fact support + profile capstone, fact-history envelopes +
+# NIL mining) + all 9 r3-stale + 19 of the 41 r4-stale + 7
 # refreshes of r5-green entries whose code round 6 touched (spans
 # byte-trim rework, warc gzip, domains full-PSL, semdedup learned
 # quantizer, queryparse stored routing, retrieval stored-serve plumbing —
 # the inline boolean/fielded forms cede their refresh slots to their new
-# stored twins, which drive the same matcher). The 20 r4 entries left out
+# stored twins, which drive the same matcher). The 22 r4 entries left out
 # (TPC-H star/event aggregates on untouched code paths: q1/q3/q5,
 # region/lineitem rollups, pivot, grouping sets, first-window,
 # heavy-hitters/user-counts exact, as-of, chunk_documents_x, plus
 # url_dedup_counts / url_canonicalize / unigram_logprob_scores /
 # shard_pack_x / redact_pii_docs / repetition_signals /
-# dedup_keep_best_x / embed_documents_x, which ceded their slots to
-# this round's new oracled queries) sit at staleness exactly 2 and
-# lead the round-7 window.
+# dedup_keep_best_x / embed_documents_x / fuzzy_link_parts /
+# hybrid_search_bm25, which ceded their slots to this round's new
+# oracled queries) sit at staleness exactly 2 and lead the round-7
+# window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -98,6 +99,8 @@ _DRIVER_WINDOW = [
     "kg_entity_types_x",
     "kg_fact_support_x",
     "kg_entity_profiles_x",
+    "kg_fact_history_x",
+    "kg_nil_candidates_x",
     # -- tier 2: last green driver row is r3 --
     "cosine_neardup_pairs",
     "dense_topk",
@@ -115,8 +118,6 @@ _DRIVER_WINDOW = [
     "decontaminate_x",
     "embed_link_candidates_x",
     "flagship_relevance_topk",
-    "fuzzy_link_parts",
-    "hybrid_search_bm25",
     "kg_canonicalize_driver_x",
     "kg_canonicalize_x",
     "kg_entity_degrees_x",

@@ -753,3 +753,43 @@ LEFT JOIN od ON od.eid = pn.eid
 LEFT JOIN id_ ON id_.eid = pn.eid
 ORDER BY pn.eid
 """
+
+
+def fact_history_oracle_sql(id_limit: int = 240) -> str:
+    """fact_history replay: min/max crawl date + mention count per
+    asserted (slot, value)."""
+    return f"""{_linked_ts_cte(id_limit)}
+SELECT subj_eid, pred, obj,
+       strftime(MIN(ts), '%Y-%m-%d') AS first_seen,
+       strftime(MAX(ts), '%Y-%m-%d') AS last_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM lt
+GROUP BY subj_eid, pred, obj
+ORDER BY subj_eid, pred, obj
+"""
+
+
+def nil_candidates_oracle_sql(id_limit: int = 240, min_mentions: int = 2) -> str:
+    """nil_candidates replay: UNLINKED subjects (anti the dictionary on
+    the same normalization) grouped by normalized surface."""
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    return f"""{_sents_cte(id_limit)},
+{_dict_sql().lstrip()},
+ul AS (
+  -- the Spark side links against a dictionary WITHHOLDING every alias
+  -- normalizing to 'r…'; the join predicate mirrors that hole exactly
+  SELECT {norm.format(c='t.subj')} AS surface_norm, t.subj, t.url
+  FROM triples t
+  LEFT JOIN dict_norm ds ON {norm.format(c='t.subj')} = ds.alias_norm
+                        AND ds.alias_norm NOT LIKE 'r%'
+  WHERE ds.eid IS NULL
+)
+SELECT surface_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_docs,
+       MIN(subj) AS example_surface
+FROM ul
+GROUP BY surface_norm
+HAVING COUNT(*) >= {min_mentions}
+ORDER BY surface_norm
+"""

@@ -107,6 +107,48 @@ def fact_support(linked: DataFrame) -> DataFrame:
     )
 
 
+def fact_history(linked: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """Temporal scoping: the validity envelope of every asserted (slot,
+    value) — first/last crawl date it was seen and its mention count.
+    The fact-history table a temporal KG serves intervals from (and the
+    input recency-fusion reads its cutoffs against). One map-side-
+    combinable aggregate on the (subj_eid, pred, obj) fact key.
+    Returns (subj_eid, pred, obj, first_seen, last_seen, n_mentions)."""
+    return (
+        linked.filter(F.col("subj_eid").isNotNull())
+        .groupBy("subj_eid", "pred", "obj")
+        .agg(
+            F.date_format(F.min(ts_col), "yyyy-MM-dd").alias("first_seen"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd").alias("last_seen"),
+            F.count("*").cast("bigint").alias("n_mentions"),
+        )
+    )
+
+
+def nil_candidates(linked: DataFrame, min_mentions: int = 2) -> DataFrame:
+    """Dictionary growth (NIL mining): subjects the link stage could NOT
+    resolve, grouped by the SAME normalization the linker matches with
+    (lower/trim/leading-'the ' strip — kg/link._norm), kept when they
+    recur. Recurring unlinked surfaces are exactly the entities the
+    dictionary is missing; the output feeds the next dictionary build.
+    One aggregate on the normalized-surface key (map-side combined —
+    frequent candidates are the cheap case).
+    Returns (surface_norm, n_mentions, n_docs, example_surface)."""
+    from darkbo_spark.kg.link import _norm
+
+    return (
+        linked.filter(F.col("subj_eid").isNull())
+        .select(_norm(F.col("subj")).alias("surface_norm"), "subj", "url")
+        .groupBy("surface_norm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.countDistinct("url").cast("bigint").alias("n_docs"),
+            F.min("subj").alias("example_surface"),
+        )
+        .filter(F.col("n_mentions") >= min_mentions)
+    )
+
+
 def entity_profiles(linked: DataFrame) -> DataFrame:
     """The entity page a constructed KG serves: one row per entity with
     its modal type (null when never typed), distinct asserted fact count,

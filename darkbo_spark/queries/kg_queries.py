@@ -402,7 +402,9 @@ from darkbo_spark.kg.oracle_twin import (  # noqa: E402
 )
 
 
-def _dated_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dated_linked_twin(
+    spark: SparkSession, sf_dir: str, dictionary: DataFrame | None = None
+) -> DataFrame:
     """Linked triples carrying each page's crawl date: twin pages with
     warc_ts = 2024-01-01 + (doc_id % 7) days through E→S→T→L, the ts
     joined back on the page key (url) — at scale a co-partitioned join
@@ -421,7 +423,9 @@ def _dated_linked_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("en").alias("lang"),
         F.expr(raw_text_sql("doc_id")).alias("text"),
     )
-    linked = extract_and_link(pages, twin_entity_dict(spark))
+    linked = extract_and_link(
+        pages, dictionary if dictionary is not None else twin_entity_dict(spark)
+    )
     return linked.join(F.broadcast(pages.select("url", "warc_ts")), "url")
 
 
@@ -488,3 +492,43 @@ def kg_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.kg.temporal import entity_profiles
 
     return entity_profiles(_dated_linked_twin(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Fact validity envelopes + NIL mining: the temporal-scoping table and the
+# dictionary-growth worklist — the two remaining outputs a fusion layer
+# publishes, both replayed in DuckDB over the same crawl-dated twin.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import (  # noqa: E402
+    fact_history_oracle_sql,
+    nil_candidates_oracle_sql,
+)
+
+
+@_q("kg_fact_history_x", fact_history_oracle_sql(240))
+def kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-seen envelope + mention count per (slot, value)."""
+    from darkbo_spark.kg.temporal import fact_history
+
+    return fact_history(_dated_linked_twin(spark, sf_dir))
+
+
+@_q("kg_nil_candidates_x", nil_candidates_oracle_sql(240, min_mentions=2))
+def kg_nil_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring unlinked subject surfaces — the entities the dictionary
+    is missing, normalized exactly as the linker would match them. The
+    twin dictionary deliberately WITHHOLDS every alias normalizing to
+    'r…' (mirrored in the oracle's join predicate), so the companies the
+    corpus keeps asserting under those names are genuine dictionary
+    misses — the exact situation NIL mining exists for."""
+    from darkbo_spark.kg.link import _norm
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+    from darkbo_spark.kg.temporal import nil_candidates
+
+    holey_dict = twin_entity_dict(spark).filter(
+        ~_norm(F.col("alias")).startswith("r")
+    )
+    return nil_candidates(
+        _dated_linked_twin(spark, sf_dir, dictionary=holey_dict), min_mentions=2
+    )

@@ -192,6 +192,15 @@ CHECKS = {
     "kg_fact_support_x": [
         "Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
     ],
+    # --- fact history: ONE map-side-combinable aggregate on the fact key
+    "kg_fact_history_x": [
+        "HashAggregate", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
+    ],
+    # --- NIL mining: unlinked-subject rollup on the normalized surface
+    # (string min forces the sort-based partial-agg form) — no funnel
+    "kg_nil_candidates_x": [
+        "SortAggregate", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
+    ],
     # --- entity profile capstone: aggregates + modal-type window + the
     # final entity-key joins — everything keys on eid, no funnel/product
     "kg_entity_profiles_x": [

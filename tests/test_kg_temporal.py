@@ -193,3 +193,50 @@ def test_entity_profiles_union_universe(spark):
         "e2": (None, 0, 0, 1),   # edge target only: in the universe, untyped
         "e3": (None, 1, 0, 0),   # fact-asserting but edge-less: still present
     }
+
+
+def test_fact_history_envelope(spark):
+    from darkbo_spark.kg.temporal import fact_history
+
+    linked = _linked(
+        spark,
+        [
+            ("u/1", 0, "based_in", "Berlin", "e1", "2024-01-02"),
+            ("u/2", 0, "based_in", "Berlin", "e1", "2024-01-05"),
+            ("u/3", 0, "based_in", "Berlin", "e1", "2024-01-03"),
+            ("u/4", 0, "based_in", "Madrid", "e1", "2024-01-04"),
+        ],
+    )
+    got = {
+        r.obj: (r.first_seen, r.last_seen, r.n_mentions)
+        for r in fact_history(linked).collect()
+    }
+    assert got == {
+        "Berlin": ("2024-01-02", "2024-01-05", 3),
+        "Madrid": ("2024-01-04", "2024-01-04", 1),
+    }
+
+
+def test_nil_candidates_threshold_and_norm(spark):
+    from darkbo_spark.kg.temporal import nil_candidates
+
+    rows = [
+        # 'The Acme Corp' and 'acme corp' normalize together -> 2 mentions
+        ("u/1", 0, "based_in", "Berlin", None, "2024-01-01"),
+        ("u/2", 0, "based_in", "Berlin", None, "2024-01-01"),
+        # singleton miss stays below the threshold
+        ("u/3", 0, "based_in", "Lisbon", None, "2024-01-01"),
+        # linked mention never mined
+        ("u/4", 0, "based_in", "Madrid", "e1", "2024-01-01"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["url", "sent_idx", "pred", "obj", "subj_eid", "d"]
+    )
+    df["subj"] = ["The Acme Corp", "acme corp", "Lone Startup", "Known Co"]
+    sdf = spark.createDataFrame(df).select(
+        "url", F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "subj", "pred", "obj", "subj_eid", F.to_date("d").alias("warc_ts"),
+    )
+    got = {r.surface_norm: (r.n_mentions, r.n_docs, r.example_surface)
+           for r in nil_candidates(sdf, min_mentions=2).collect()}
+    assert got == {"acme corp": (2, 2, "The Acme Corp")}
