@@ -84,10 +84,13 @@ def run_pipeline(
 
     `facts_asof`: optional 'YYYY-MM-DD' cutoff — adds the temporal fusion
     stages (kg/temporal.py): `kg_facts` (latest-wins fact state as of the
-    cutoff) and `kg_conflicts` (functional-violation inventory). The
-    cutoff is part of the stage fingerprint, so moving it recomputes ONLY
-    these two dictionary-bounded stages — the crawl-scale path for "give
-    me yesterday's fact state" without re-extracting anything.
+    cutoff) plus the cutoff-independent fusion tables `kg_conflicts`
+    (functional-violation inventory), `kg_entity_types` (modal is_a),
+    `kg_fact_history` (validity envelopes) and `kg_entity_profiles` (the
+    entity page). Only kg_facts carries the cutoff in its fingerprint, so
+    moving it recomputes ONE dictionary-bounded stage — the crawl-scale
+    path for "give me yesterday's fact state" without re-extracting
+    anything.
 
     The whole run holds the single-writer BuildLock (I2): concurrent
     publishers would otherwise race on the same v{seq} dir and expire()
@@ -281,7 +284,13 @@ def _run_locked(
     # Output is fact-slot-bounded (entities × functional predicates), so
     # the dictionary-stage write convention (coalesce(1)) applies.
     if facts_asof:
-        from darkbo_spark.kg.temporal import detect_conflicts, resolve_facts
+        from darkbo_spark.kg.temporal import (
+            detect_conflicts,
+            entity_profiles,
+            entity_types,
+            fact_history,
+            resolve_facts,
+        )
 
         def _linked_with_ts():
             return kg_tbl.read(spark).join(
@@ -293,10 +302,21 @@ def _run_locked(
 
         stage("kg_facts", fp_k + fp_d, f"asof_{facts_asof}_v1", build_facts)
 
-        def build_conflicts():
-            return detect_conflicts(_linked_with_ts()).coalesce(1), None
-
-        stage("kg_conflicts", fp_k + fp_d, "conflicts_v1", build_conflicts)
+        # cutoff-independent fusion tables: their fingerprints don't carry
+        # facts_asof, so moving the cutoff recomputes kg_facts alone
+        for name, params, fn in (
+            ("kg_conflicts", "conflicts_v1", detect_conflicts),
+            ("kg_entity_types", "types_v1", entity_types),
+            ("kg_fact_history", "history_v1", fact_history),
+            ("kg_entity_profiles", "profiles_v1", entity_profiles),
+        ):
+            # bind fn per iteration (late-binding lambda trap)
+            stage(
+                name,
+                fp_k + fp_d,
+                params,
+                lambda fn=fn: (fn(_linked_with_ts()).coalesce(1), None),
+            )
 
     if metrics_rows:
         import pandas as pd

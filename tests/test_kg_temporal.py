@@ -101,7 +101,9 @@ def test_pipeline_facts_stages(spark, tmp_path):
 
     out = str(tmp_path / "kg")
     res = run_pipeline(spark, out, n_pages=200, seed=7, facts_asof="2024-01-02")
-    assert "kg_facts" in res.stages_run and "kg_conflicts" in res.stages_run
+    for s in ("kg_facts", "kg_conflicts", "kg_entity_types",
+              "kg_fact_history", "kg_entity_profiles"):
+        assert s in res.stages_run, s
 
     linked = res.tables["kg_triples"].read(spark).join(
         res.tables["docs"].read(spark).select("url", "warc_ts"), "url"
