@@ -330,7 +330,8 @@ def _run_locked(
 
 
 def maintain_pipeline(
-    spark: SparkSession, out_dir: str, retain_last: int = 3
+    spark: SparkSession, out_dir: str, retain_last: int = 3,
+    lock_wait_s: float = 120.0,
 ) -> list[dict]:
     """Opt-in maintenance pass over every stage table of a pipeline
     output dir: compact-then-expire per table (storage.snapshots.maintain
@@ -341,22 +342,40 @@ def maintain_pipeline(
     Crawl-cadence operation: ingest deltas fragment the bucketed tables
     over time; this is the scheduled job that heals them. SnapshotTable
     backend only — the Iceberg backend delegates to the catalog's own
-    rewrite_data_files/expire_snapshots maintenance."""
+    rewrite_data_files/expire_snapshots maintenance.
+
+    Holds the PIPELINE BuildLock for `out_dir` in addition to the
+    per-table locks maintain() takes: run_pipeline's stage publishes are
+    guarded only by the pipeline-named lock, so without taking it here a
+    compact/expire could race a concurrent pipeline publish on the same
+    table and re-point current.json at the pre-publish fingerprint."""
     import pandas as pd
 
     from darkbo_spark.storage.snapshots import SnapshotTable, maintain
 
-    names = sorted(
-        d
-        for d in os.listdir(out_dir)
-        if os.path.isdir(os.path.join(out_dir, d))
-        and os.path.exists(os.path.join(out_dir, d, "current.json"))
-        and d != "_maintenance"
-    )
-    rows = [
-        maintain(spark, SnapshotTable(out_dir, n), retain_last=retain_last)
-        for n in names
-    ]
+    plock = BuildLock(out_dir, "pipeline")
+    owner = f"maint-{os.getpid()}-{time.time()}"
+    deadline = time.time() + lock_wait_s
+    while not plock.acquire(owner):
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"pipeline lock busy for {out_dir}: {plock.owner()}"
+            )
+        time.sleep(0.25)
+    try:
+        names = sorted(
+            d
+            for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))
+            and os.path.exists(os.path.join(out_dir, d, "current.json"))
+            and d != "_maintenance"
+        )
+        rows = [
+            maintain(spark, SnapshotTable(out_dir, n), retain_last=retain_last)
+            for n in names
+        ]
+    finally:
+        plock.release(owner)
     if rows:
         tbl = make_table(out_dir, "_maintenance")
         tbl.publish(

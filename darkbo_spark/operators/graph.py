@@ -178,11 +178,23 @@ def entity_cooccurrence(
     are tiny (entity-dictionary-bounded / scalar) and broadcast into
     the final PMI projection.
     """
-    ents = mentions.select(
-        F.col(doc_col).alias("doc"), F.col(ent_col).alias("eid")
-    ).distinct()
+    # the distinct (doc, entity) set is read FOUR times (the N count, the
+    # pair self-join's two sides, and the marginal aggregate) — persist it
+    # before the eager count so the upstream pipeline (clean→segment→
+    # extract→link in the twin query) runs once, not per consumer; the
+    # count materializes the cache. cx is broadcast twice — persist the
+    # tiny aggregate too so the second broadcast reuses it.
+    from pyspark import StorageLevel
+
+    ents = (
+        mentions.select(F.col(doc_col).alias("doc"), F.col(ent_col).alias("eid"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_docs = ents.select("doc").distinct().count()
-    cx = ents.groupBy("eid").agg(F.count(F.lit(1)).alias("c"))
+    cx = ents.groupBy("eid").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = ents.alias("a")
     b = ents.alias("b")
     pairs = (

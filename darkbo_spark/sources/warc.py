@@ -130,21 +130,37 @@ def iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
     into a .warc.gz (seek to offset, read length, gunzip one member).
     Tolerant: a torn/corrupt trailing member is dropped — its partial
     bytes never reach the record parser, so a torn .gz tail degrades
-    exactly like a torn .warc tail (record skipped, stage survives)."""
+    exactly like a torn .warc tail (record skipped, stage survives).
+
+    Each member's decompressor is fed bounded memoryview slices (64 KB),
+    never the whole remaining tail: CC's one-member-per-record layout
+    means tens of thousands of members per ~1 GB file, and a per-member
+    tail copy (either an explicit `data[pos:]` slice or the bytes object
+    zlib materializes in `unused_data` when over-fed) would memcpy
+    O(members × file_size). Chunked feeding keeps the walk O(file_size)
+    total and `unused_data` at most one chunk."""
     pos = 0
     n = len(data)
+    mv = memoryview(data)
+    chunk_size = 1 << 16
     while pos < n and data[pos : pos + 2] == GZIP_MAGIC:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = []
+        fed = 0
         try:
-            chunk = d.decompress(data[pos:]) + d.flush()
+            while not d.eof and pos + fed < n:
+                piece = mv[pos + fed : pos + fed + chunk_size]
+                out.append(d.decompress(piece))
+                fed += len(piece)
+            out.append(d.flush())
         except zlib.error:
             return  # corrupt member — drop it and everything after
         if not d.eof:
             return  # truncated final member at EOF
-        consumed = (n - pos) - len(d.unused_data)
+        consumed = fed - len(d.unused_data)
         if consumed <= 0:
             return
-        yield pos, consumed, chunk
+        yield pos, consumed, b"".join(out)
         pos += consumed
 
 

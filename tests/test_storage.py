@@ -269,3 +269,28 @@ def test_maintain_pipeline_sweeps_all_tables_and_publishes_metrics(spark, tmp_pa
     rows2 = maintain_pipeline(spark, base, retain_last=3)
     assert {r["table"] for r in rows2} == {"kg_entities", "kg_triples"}
     assert not any(r["compacted"] for r in rows2)
+
+
+def test_maintain_pipeline_excluded_by_pipeline_lock(spark, tmp_path):
+    """ADVICE r6: a maintenance sweep must not race a concurrent pipeline
+    run — maintain_pipeline takes the SAME 'pipeline'-named BuildLock the
+    stage publishes hold, so while a run is live the sweep refuses."""
+    from darkbo_spark.kg.pipeline import maintain_pipeline
+    from darkbo_spark.storage.snapshots import BuildLock
+
+    base = str(tmp_path)
+    t = SnapshotTable(base, "kg_triples")
+    t.publish(_df(spark, 20).repartition(4), "fp0")
+    plock = BuildLock(base, "pipeline")
+    assert plock.acquire("live-run")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="pipeline lock busy"):
+            maintain_pipeline(spark, base, lock_wait_s=0.6)
+    finally:
+        plock.release("live-run")
+    # lock released → the sweep proceeds and compacts
+    rows = maintain_pipeline(spark, base, retain_last=3)
+    assert [r["table"] for r in rows] == ["kg_triples"]
+    assert rows[0]["compacted"] is True

@@ -307,3 +307,35 @@ def test_resolve_revisits_deterministic_canonical(spark):
     ).collect()
     assert len(out) == 1
     assert bytes(out[0].payload) == b"X" and out[0].resolved == 1
+
+
+def test_gz_walk_is_chunked_and_offsets_roundtrip(tmp_path):
+    """The member walk feeds bounded slices (never the whole remaining
+    tail): a member whose compressed size spans several 64 KB chunks
+    decodes byte-identically, and every (offset, length) pair round-trips
+    through fetch_warc_record — the CDX random-access contract."""
+    import os
+
+    from darkbo_spark.sources.warc import (
+        fetch_warc_record,
+        iter_gzip_members,
+        write_warc_gz,
+    )
+
+    big = os.urandom(300_000)  # incompressible → compressed size > 4 chunks
+    recs = [
+        _rec("https://c.test/big", big),
+        _rec("https://c.test/small", b"tail record"),
+    ]
+    p = str(tmp_path / "chunked.warc.gz")
+    write_warc_gz(recs, p)
+    data = open(p, "rb").read()
+    members = list(iter_gzip_members(data))
+    assert len(members) == 2
+    # offsets tile the file exactly: member k starts where k-1 ended
+    assert members[0][0] == 0
+    assert members[1][0] == members[0][1]
+    assert members[1][0] + members[1][1] == len(data)
+    got = [fetch_warc_record(data, off, ln) for off, ln, _ in members]
+    assert [r["url"] for r in got] == ["https://c.test/big", "https://c.test/small"]
+    assert got[0]["payload"] == big
