@@ -637,19 +637,33 @@ lt AS (
 
 
 def facts_oracle_sql(id_limit: int = 240, as_of: str = "2024-01-05") -> str:
-    """resolve_facts replay: latest-wins per (subj_eid, pred) with the
-    same deterministic tie order, temporal filter at `as_of`."""
+    """resolve_facts replay: per-(slot, value) envelope aggregate, then
+    latest-wins ONLY on functional slots (FUNCTIONAL_PREDS in lockstep
+    with kg/temporal.py) — multi-valued slots keep every value asserted
+    on or before the cutoff, with the same deterministic tie order."""
+    preds = ", ".join(
+        f"'{p}'" for p in ("founded_in", "founded_by", "based_in", "is_a")
+    )
     return f"""{_linked_ts_cte(id_limit)},
-rk AS (
-  SELECT subj_eid, pred, obj, ts,
-         ROW_NUMBER() OVER (PARTITION BY subj_eid, pred
-                            ORDER BY ts DESC, obj DESC, url DESC,
-                                     sent_idx DESC) AS rk
+env AS (
+  SELECT subj_eid, pred, obj, MAX(ts) AS max_ts, MIN(ts) AS min_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions
   FROM lt WHERE ts <= DATE '{as_of}'
+  GROUP BY subj_eid, pred, obj
+),
+rk AS (
+  SELECT subj_eid, pred, obj, max_ts, min_ts, n_mentions,
+         ROW_NUMBER() OVER (PARTITION BY subj_eid, pred
+                            ORDER BY max_ts DESC, obj DESC) AS rk
+  FROM env
 )
-SELECT subj_eid, pred, obj, strftime(ts, '%Y-%m-%d') AS fact_date
-FROM rk WHERE rk = 1
-ORDER BY subj_eid, pred
+SELECT subj_eid, pred, obj,
+       strftime(max_ts, '%Y-%m-%d') AS fact_date,
+       strftime(min_ts, '%Y-%m-%d') AS first_seen,
+       n_mentions
+FROM rk
+WHERE pred NOT IN ({preds}) OR rk = 1
+ORDER BY subj_eid, pred, obj
 """
 
 

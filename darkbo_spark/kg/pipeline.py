@@ -83,8 +83,10 @@ def run_pipeline(
     stage fingerprint, so toggling it republishes.
 
     `facts_asof`: optional 'YYYY-MM-DD' cutoff — adds the temporal fusion
-    stages (kg/temporal.py): `kg_facts` (latest-wins fact state as of the
-    cutoff) plus the cutoff-independent fusion tables `kg_conflicts`
+    stages (kg/temporal.py): `kg_facts` (functional-slot-aware fact state
+    as of the cutoff: functional slots latest-wins, multi-valued slots
+    full value sets with envelopes) plus the cutoff-independent fusion
+    tables `kg_conflicts`
     (functional-violation inventory), `kg_entity_types` (modal is_a),
     `kg_fact_history` (validity envelopes) and `kg_entity_profiles` (the
     entity page). Only kg_facts carries the cutoff in its fingerprint, so
@@ -300,7 +302,7 @@ def _run_locked(
         def build_facts():
             return resolve_facts(_linked_with_ts(), as_of=facts_asof).coalesce(1), None
 
-        stage("kg_facts", fp_k + fp_d, f"asof_{facts_asof}_v1", build_facts)
+        stage("kg_facts", fp_k + fp_d, f"asof_{facts_asof}_v2", build_facts)
 
         # cutoff-independent fusion tables: their fingerprints don't carry
         # facts_asof, so moving the cutoff recomputes kg_facts alone

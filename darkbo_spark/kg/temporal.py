@@ -31,30 +31,66 @@ FUNCTIONAL_PREDS = ("founded_in", "founded_by", "based_in", "is_a")
 
 
 def resolve_facts(
-    linked: DataFrame, as_of: str, ts_col: str = "warc_ts"
+    linked: DataFrame,
+    as_of: str,
+    ts_col: str = "warc_ts",
+    functional_preds: tuple[str, ...] = FUNCTIONAL_PREDS,
 ) -> DataFrame:
-    """Latest-wins resolution: for each (subj_eid, pred), the obj asserted
-    by the most recent page with ts <= as_of. Ties at the winning
-    timestamp break deterministically (obj, url, sent_idx descending) so
-    the published fact table is bit-stable across runs and partitionings.
-    Returns (subj_eid, pred, obj, fact_date)."""
-    w = Window.partitionBy("subj_eid", "pred").orderBy(
-        F.col(ts_col).desc(),
-        F.col("obj").desc(),
-        F.col("url").desc(),
-        F.col("sent_idx").desc(),
-    )
-    return (
+    """Functional-slot-aware fact resolution as of a cutoff date.
+
+    * FUNCTIONAL slots (`pred` in `functional_preds`) collapse to ONE
+      value — the obj asserted by the most recent page with ts on or
+      before `as_of`, ties at the winning timestamp breaking to the max
+      obj (deterministic, layout-invariant).
+    * MULTI-VALUED slots (acquired, launched, works_at, …) publish their
+      FULL value set: one row per distinct obj asserted on or before the
+      cutoff. Reference analog: the KB's dict-insertion-order
+      last-write-wins applies per unique KEY — the functional case only;
+      collapsing `acquired` to its latest object would silently drop
+      facts.
+
+    The cutoff is DAY-INCLUSIVE for timestamp inputs: `as_of='2024-01-05'`
+    keeps a page crawled 2024-01-05 10:00 (`to_date(ts) <= as_of`, not a
+    midnight-upcast `ts <= as_of`).
+
+    Every published value carries its validity envelope: `fact_date` =
+    most recent assertion date (the envelope end — the winning date for
+    functional slots), `first_seen` = earliest assertion date,
+    `n_mentions` = assertion count, all within the cutoff.
+
+    Scale shape: one map-side-combinable aggregate on the fine-grained
+    (subj_eid, pred, obj) fact key collapses the mention stream; the
+    latest-wins window then moves only the ALREADY-COLLAPSED fact table
+    (one row per distinct value), never the mentions — same envelope as
+    fact_support. Returns (subj_eid, pred, obj, fact_date, first_seen,
+    n_mentions)."""
+    env = (
         linked.filter(F.col("subj_eid").isNotNull())
-        .filter(F.col(ts_col) <= F.lit(as_of).cast("date"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "subj_eid",
-            "pred",
-            "obj",
-            F.date_format(ts_col, "yyyy-MM-dd").alias("fact_date"),
+        .filter(F.to_date(F.col(ts_col)) <= F.lit(as_of).cast("date"))
+        .groupBy("subj_eid", "pred", "obj")
+        .agg(
+            F.max(ts_col).alias("_max_ts"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd").alias("first_seen"),
+            F.count("*").cast("bigint").alias("n_mentions"),
         )
+    )
+    if functional_preds:
+        w = Window.partitionBy("subj_eid", "pred").orderBy(
+            F.col("_max_ts").desc(), F.col("obj").desc()
+        )
+        env = (
+            env.withColumn("rk", F.row_number().over(w))
+            .filter(
+                (~F.col("pred").isin(*functional_preds)) | (F.col("rk") == 1)
+            )
+        )
+    return env.select(
+        "subj_eid",
+        "pred",
+        "obj",
+        F.date_format("_max_ts", "yyyy-MM-dd").alias("fact_date"),
+        "first_seen",
+        "n_mentions",
     )
 
 

@@ -431,10 +431,12 @@ def _dated_linked_twin(
 
 @_q("kg_facts_asof_x", facts_oracle_sql(240, as_of="2024-01-05"))
 def kg_facts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-wins fact state as of 2024-01-05 (pages dated after the
-    cutoff must NOT contribute): one window over the (subj_eid, pred)
-    fact key, deterministic tie order — the published current-facts
-    table of the constructed KG."""
+    """Functional-slot-aware fact state as of 2024-01-05 (pages dated
+    after the cutoff must NOT contribute): functional slots collapse
+    latest-wins, multi-valued slots (acquired, launched, works_at, …)
+    keep their FULL value set with validity envelopes — one envelope
+    aggregate on the fact key plus one window over the collapsed fact
+    table, deterministic tie order."""
     from darkbo_spark.kg.temporal import resolve_facts
 
     return resolve_facts(_dated_linked_twin(spark, sf_dir), as_of="2024-01-05")

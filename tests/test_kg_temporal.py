@@ -242,3 +242,47 @@ def test_nil_candidates_threshold_and_norm(spark):
     got = {r.surface_norm: (r.n_mentions, r.n_docs, r.example_surface)
            for r in nil_candidates(sdf, min_mentions=2).collect()}
     assert got == {"acme corp": (2, 2, "The Acme Corp")}
+
+
+def test_multivalued_slot_never_collapses(spark):
+    """r6 ask #3: `acquired` (multi-valued) keeps ALL its objects with
+    validity envelopes; functional slots still collapse to latest-wins."""
+    linked = _linked(
+        spark,
+        [
+            ("u/1", 0, "acquired", "Acme", "e1", "2024-01-01"),
+            ("u/2", 0, "acquired", "Zeta", "e1", "2024-01-03"),
+            ("u/3", 0, "acquired", "Acme", "e1", "2024-01-04"),
+            ("u/4", 0, "based_in", "Berlin", "e1", "2024-01-01"),
+            ("u/5", 0, "based_in", "Madrid", "e1", "2024-01-02"),
+            # post-cutoff acquisition excluded, pre-cutoff values survive
+            ("u/6", 0, "acquired", "Omega", "e1", "2024-01-09"),
+        ],
+    )
+    got = {
+        (r.pred, r.obj): (r.fact_date, r.first_seen, r.n_mentions)
+        for r in resolve_facts(linked, as_of="2024-01-05").collect()
+    }
+    assert got == {
+        ("acquired", "Acme"): ("2024-01-04", "2024-01-01", 2),
+        ("acquired", "Zeta"): ("2024-01-03", "2024-01-03", 1),
+        ("based_in", "Madrid"): ("2024-01-02", "2024-01-02", 1),
+    }
+
+
+def test_asof_cutoff_is_day_inclusive_for_timestamps(spark):
+    """ADVICE r6: a TIMESTAMP crawled ON the as_of day after midnight must
+    not be silently excluded by a midnight-upcast comparison."""
+    df = pd.DataFrame(
+        [
+            ("u/1", 0, "based_in", "Berlin", "e1", "2024-01-05 10:00:00"),
+            ("u/2", 0, "based_in", "Madrid", "e1", "2024-01-06 00:30:00"),
+        ],
+        columns=["url", "sent_idx", "pred", "obj", "subj_eid", "t"],
+    )
+    linked = spark.createDataFrame(df).select(
+        "url", F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "pred", "obj", "subj_eid", F.to_timestamp("t").alias("warc_ts"),
+    )
+    [r] = resolve_facts(linked, as_of="2024-01-05").collect()
+    assert (r.obj, r.fact_date) == ("Berlin", "2024-01-05")
