@@ -74,6 +74,7 @@ def run_pipeline(
     cc_mode: str = "auto",
     fuzzy_fallback: str | None = None,
     facts_asof: str | None = None,
+    fusion_mode: str = "auto",
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; every stage is fingerprint-gated.
 
@@ -111,6 +112,7 @@ def run_pipeline(
             heartbeat=lambda: lock.heartbeat(lock_owner),
             fuzzy_fallback=fuzzy_fallback,
             facts_asof=facts_asof,
+            fusion_mode=fusion_mode,
         )
     finally:
         lock.release(lock_owner)
@@ -132,6 +134,7 @@ def _run_locked(
     heartbeat=lambda: None,
     fuzzy_fallback: str | None = None,
     facts_asof: str | None = None,
+    fusion_mode: str = "auto",
 ) -> PipelineResult:
     if pages is None:
         # html is omitted: the extract stage reads `text` only, and a real
@@ -283,8 +286,17 @@ def _run_locked(
     # ---- optional temporal fusion: facts as-of + conflict inventory ------
     # Depends on kg_triples AND docs (the per-page crawl date joins back on
     # the page key — at crawl scale a co-keyed join, never a product).
-    # Output is fact-slot-bounded (entities × functional predicates), so
-    # the dictionary-stage write convention (coalesce(1)) applies.
+    # Write shape: the fusion tables are entity-bounded, but the entity
+    # universe GROWS (nil_candidates exists to grow the dictionary; a real
+    # KG's is 10^8–10^9), so `coalesce(1)` is only safe while the
+    # dictionary is provably small. `fusion_mode` mirrors cc_mode's
+    # auto switch: "driver" (single file) while the dictionary's estimated
+    # collected bytes fit the broadcast threshold, else "distributed" —
+    # the kg_triples convention, bucketed on pmod(xxhash64(entity key), N)
+    # so no single task funnels the fact state and per-entity reads prune
+    # to one bucket. Every row carries `fact_bucket` in BOTH shapes
+    # (schema and content are mode-invariant; only physical layout
+    # changes, so the fingerprint — content identity — excludes the mode).
     if facts_asof:
         from darkbo_spark.kg.temporal import (
             detect_conflicts,
@@ -294,30 +306,66 @@ def _run_locked(
             resolve_facts,
         )
 
+        shape = fusion_mode
+        if shape == "auto":
+            from darkbo_spark.kg.canonicalize import (
+                _PY_OVERHEAD,
+                _driver_cc_budget_bytes,
+            )
+
+            chars = entity_dict.agg(
+                F.coalesce(
+                    F.sum(F.length("eid") + F.length("alias")), F.lit(0)
+                ).alias("c")
+            ).collect()[0].c
+            shape = (
+                "driver"
+                if chars * _PY_OVERHEAD <= _driver_cc_budget_bytes(spark)
+                else "distributed"
+            )
+        assert shape in ("driver", "distributed"), f"bad fusion_mode {shape}"
+
+        def _fusion_shape(df: DataFrame, key_col: str) -> DataFrame:
+            out = df.withColumn(
+                "fact_bucket",
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"),
+            )
+            if shape == "driver":
+                return out.coalesce(1)
+            return out.repartition(n_buckets, F.col("fact_bucket"))
+
         def _linked_with_ts():
             return kg_tbl.read(spark).join(
                 docs_tbl.read(spark).select("url", "warc_ts"), "url"
             )
 
         def build_facts():
-            return resolve_facts(_linked_with_ts(), as_of=facts_asof).coalesce(1), None
+            return (
+                _fusion_shape(
+                    resolve_facts(_linked_with_ts(), as_of=facts_asof), "subj_eid"
+                ),
+                None,
+            )
 
         stage("kg_facts", fp_k + fp_d, f"asof_{facts_asof}_v2", build_facts)
 
         # cutoff-independent fusion tables: their fingerprints don't carry
         # facts_asof, so moving the cutoff recomputes kg_facts alone
-        for name, params, fn in (
-            ("kg_conflicts", "conflicts_v1", detect_conflicts),
-            ("kg_entity_types", "types_v1", entity_types),
-            ("kg_fact_history", "history_v1", fact_history),
-            ("kg_entity_profiles", "profiles_v1", entity_profiles),
+        for name, params, fn, key in (
+            ("kg_conflicts", "conflicts_v2", detect_conflicts, "subj_eid"),
+            ("kg_entity_types", "types_v2", entity_types, "subj_eid"),
+            ("kg_fact_history", "history_v2", fact_history, "subj_eid"),
+            ("kg_entity_profiles", "profiles_v2", entity_profiles, "eid"),
         ):
-            # bind fn per iteration (late-binding lambda trap)
+            # bind fn/key per iteration (late-binding lambda trap)
             stage(
                 name,
                 fp_k + fp_d,
                 params,
-                lambda fn=fn: (fn(_linked_with_ts()).coalesce(1), None),
+                lambda fn=fn, key=key: (
+                    _fusion_shape(fn(_linked_with_ts()), key),
+                    None,
+                ),
             )
 
     if metrics_rows:

@@ -111,10 +111,16 @@ def test_pipeline_facts_stages(spark, tmp_path):
     want_facts = {
         tuple(r) for r in resolve_facts(linked, as_of="2024-01-02").collect()
     }
-    got_facts = {tuple(r) for r in res.tables["kg_facts"].read(spark).collect()}
+    got_facts = {
+        tuple(r)
+        for r in res.tables["kg_facts"].read(spark).drop("fact_bucket").collect()
+    }
     assert got_facts == want_facts and got_facts
     want_conf = {tuple(r) for r in detect_conflicts(linked).collect()}
-    got_conf = {tuple(r) for r in res.tables["kg_conflicts"].read(spark).collect()}
+    got_conf = {
+        tuple(r)
+        for r in res.tables["kg_conflicts"].read(spark).drop("fact_bucket").collect()
+    }
     assert got_conf == want_conf
 
     res2 = run_pipeline(spark, out, n_pages=200, seed=7, facts_asof="2024-01-02")
@@ -286,3 +292,34 @@ def test_asof_cutoff_is_day_inclusive_for_timestamps(spark):
     )
     [r] = resolve_facts(linked, as_of="2024-01-05").collect()
     assert (r.obj, r.fact_date) == ("Berlin", "2024-01-05")
+
+
+def test_fusion_write_shapes_identical_content(spark, tmp_path):
+    """r6 ask #2: the fusion tables publish identical content under the
+    driver (coalesce(1)) and distributed (fact_bucket-bucketed) write
+    shapes — only the physical layout differs. The bucketed shape spreads
+    rows over many files so no single task funnels the fact state once
+    the dictionary outgrows the driver assumption."""
+    from darkbo_spark.kg.pipeline import run_pipeline
+
+    res = {}
+    for mode in ("driver", "distributed"):
+        res[mode] = run_pipeline(
+            spark, str(tmp_path / mode), n_pages=200, seed=7,
+            facts_asof="2024-01-02", fusion_mode=mode,
+        )
+    for name in ("kg_facts", "kg_conflicts", "kg_entity_types",
+                 "kg_fact_history", "kg_entity_profiles"):
+        a = {tuple(r) for r in res["driver"].tables[name].read(spark).collect()}
+        b = {tuple(r) for r in res["distributed"].tables[name].read(spark).collect()}
+        assert a == b, name
+        assert a, name
+    assert len(res["driver"].tables["kg_fact_history"].data_files()) == 1
+    assert len(res["distributed"].tables["kg_fact_history"].data_files()) > 1
+    # bucket values are the pruning key: pmod(xxhash64(subj_eid), 32)
+    hist = res["distributed"].tables["kg_fact_history"].read(spark)
+    bad = hist.filter(
+        F.col("fact_bucket")
+        != F.pmod(F.xxhash64(F.col("subj_eid")), F.lit(32)).cast("int")
+    ).count()
+    assert bad == 0
