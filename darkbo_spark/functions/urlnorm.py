@@ -59,6 +59,105 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL — the
+    key real CDX servers index on (OpenWayback/pywb behavior): the
+    CANONICAL url (same rule chain as canonical_url: lowercase scheme+
+    host, fragment dropped, default port dropped, trailing slash
+    stripped, query params sorted) with the scheme removed and the host
+    labels REVERSED and comma-joined, closed by ')':
+
+        https://www.example.com:8080/a/b?y=2&x=1
+          → com,example,www:8080)/a/b?x=1&y=2
+
+    Reversed-host ordering makes every domain a PREFIX of its subdomain
+    keys, so 'all captures under example.com' is one range/prefix scan
+    instead of a host-set join — the property prefix lookup rides on.
+    All native column expressions, zero UDF."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    rest = F.regexp_extract(url, _AFTER_SCHEME_RE, 1)
+    hostport = F.lower(F.regexp_extract(rest, _HOSTPORT_RE, 1))
+    host = F.regexp_extract(hostport, _HOST_RE, 1)
+    port = F.regexp_extract(hostport, _PORT_RE, 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_extract(rest, _PATH_RE, 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(rest, _QUERY_RE, 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    rev_host = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    return F.concat(
+        rev_host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+
+
+def surt_domain_prefix(domain: str) -> str:
+    """The SURT key prefix of a registered domain: 'example.com' →
+    'com,example'. A capture belongs to the domain iff its url_key
+    continues with ')' (the apex host), ',' (a subdomain label), or ':'
+    (an explicit port) — see surt_prefix_filter."""
+    return ",".join(reversed(domain.lower().split(".")))
+
+
+def surt_prefix_filter(url_key: Column, domain: str) -> Column:
+    """Predicate: url_key is a capture of `domain` or any subdomain.
+    Plain startswith on the raw prefix would also match sibling hosts
+    sharing the character prefix ('example.com' must not match
+    'exampleco.com'), so the next char is pinned to )/,/: explicitly."""
+    p = surt_domain_prefix(domain)
+    return (
+        url_key.startswith(p + ")")
+        | url_key.startswith(p + ",")
+        | url_key.startswith(p + ":")
+    )
+
+
+def sql_surt_key(url: str) -> str:
+    """DuckDB twin of surt_key — identical rule chain, identical regexes."""
+    scheme = f"lower(regexp_extract({url}, '{_SCHEME_RE}', 1))"
+    rest = f"regexp_extract({url}, '{_AFTER_SCHEME_RE}', 1)"
+    hostport = f"lower(regexp_extract({rest}, '{_HOSTPORT_RE}', 1))"
+    host = f"regexp_extract({hostport}, '{_HOST_RE}', 1)"
+    port = f"regexp_extract({hostport}, '{_PORT_RE}', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
+        f"AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    raw_path = f"regexp_extract({rest}, '{_PATH_RE}', 1)"
+    path = (
+        f"(CASE WHEN length({raw_path}) > 1 AND {raw_path} LIKE '%/' "
+        f"THEN substr({raw_path}, 1, length({raw_path}) - 1) "
+        f"ELSE {raw_path} END)"
+    )
+    query = f"regexp_extract({rest}, '{_QUERY_RE}', 1)"
+    sorted_q = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    rev_host = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    return (
+        f"({rev_host} || "
+        f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || ')' || {path} || "
+        f"(CASE WHEN {query} <> '' THEN '?' || {sorted_q} ELSE '' END))"
+    )
+
+
+def sql_surt_prefix_filter(url_key: str, domain: str) -> str:
+    """DuckDB twin of surt_prefix_filter."""
+    p = surt_domain_prefix(domain)
+    return (
+        f"({url_key} LIKE '{p})%' OR {url_key} LIKE '{p},%' "
+        f"OR {url_key} LIKE '{p}:%')"
+    )
+
+
 def sql_canonical_url(url: str) -> str:
     """DuckDB twin — the identical rule chain over the identical regexes."""
     scheme = f"lower(regexp_extract({url}, '{_SCHEME_RE}', 1))"

@@ -22,14 +22,20 @@ from darkbo_spark.queries.common import _q, _t
 _CRLF = "chr(13) || chr(10)"
 
 # one WARC record per documents row, dialect-neutral
-_WARC_REC_SQL = (
-    f"'WARC/1.0' || {_CRLF}"
-    f" || 'WARC-Type: response' || {_CRLF}"
-    f" || 'WARC-Target-URI: https://w.test/' || CAST(doc_id AS STRING) || {_CRLF}"
-    f" || 'WARC-Date: 2024-01-01T00:00:00Z' || {_CRLF}"
-    f" || 'Content-Length: ' || CAST(length(text) AS STRING) || {_CRLF} || {_CRLF}"
-    f" || text"
-)
+
+
+def _warc_rec_sql(uri_sql: str) -> str:
+    return (
+        f"'WARC/1.0' || {_CRLF}"
+        f" || 'WARC-Type: response' || {_CRLF}"
+        f" || 'WARC-Target-URI: ' || {uri_sql} || {_CRLF}"
+        f" || 'WARC-Date: 2024-01-01T00:00:00Z' || {_CRLF}"
+        f" || 'Content-Length: ' || CAST(length(text) AS STRING) || {_CRLF} || {_CRLF}"
+        f" || text"
+    )
+
+
+_WARC_REC_SQL = _warc_rec_sql("'https://w.test/' || CAST(doc_id AS STRING)")
 
 _WARC_ORACLE = f"""
 WITH r AS (SELECT doc_id, {_WARC_REC_SQL} AS rec FROM documents WHERE doc_id < 400)
@@ -107,7 +113,9 @@ FROM r
 """
 
 
-def _cdx_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdx_rows(
+    spark: SparkSession, sf_dir: str, rec_sql: str = _WARC_REC_SQL
+) -> DataFrame:
     """The assembled-stream CDX rows both the inline query and the stored
     build share: 8 member streams (bucket = file), each walked ONCE by
     the real indexer."""
@@ -139,7 +147,7 @@ def _cdx_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec_df = d.select(
         "doc_id",
         (F.col("doc_id") % 8).alias("bucket"),
-        F.encode(F.expr(_WARC_REC_SQL), "utf-8").alias("rec"),
+        F.encode(F.expr(rec_sql), "utf-8").alias("rec"),
     )
     return rec_df.groupBy("bucket").applyInPandas(
         index_bucket,
@@ -328,4 +336,110 @@ def warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_type",
         md5_hex(F.col("payload")).alias("payload_md5"),
         "resolved",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURT-keyed CDX serving (r6 ask #5): real CDX servers key on the
+# Sort-friendly URI Reordering Transform of the CANONICAL url
+# ('https://www.Example.com:443/a?b=2&a=1' → 'com,example,www)/a?a=1&b=2')
+# and serve DOMAIN-PREFIX queries — reversed-host ordering makes every
+# domain a prefix of all its subdomain keys, so "all captures under
+# example.com" is one prefix scan, never a host-set join. The stored
+# index is partitioned by registered-domain hash bucket
+# (operators/domains.registered_domain — PSL semantics), so a domain
+# probe prunes to ONE partition (PartitionFilters) before the prefix
+# match runs; canonicalization + SURT + prefix semantics are all under
+# the driver hash via functions/urlnorm's exact DuckDB twins.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.functions.urlnorm import (  # noqa: E402
+    sql_surt_key,
+    sql_surt_prefix_filter,
+    surt_key,
+    surt_prefix_filter,
+)
+
+# varied hosts/ports/queries: apex vs subdomain, scheme-default port
+# (dropped), explicit non-default port (kept → ':' branch of the prefix
+# filter), unsorted query params (sorted by canonicalization)
+_SURT_URI_SQL = (
+    "'https://' || (CASE WHEN doc_id % 5 = 0 THEN '' "
+    "ELSE 'sub' || CAST(doc_id % 5 AS STRING) || '.' END) "
+    "|| 'site' || CAST(doc_id % 23 AS STRING) || '.com' "
+    "|| (CASE WHEN doc_id % 7 = 0 THEN ':443' "
+    "WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END) "
+    "|| '/p/' || CAST(doc_id AS STRING) "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END)"
+)
+
+_SURT_PROBE_DOMAIN = "site3.com"
+_SURT_DOMAIN_BUCKETS = 8
+
+_CDX_SURT_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, doc_id % 8 AS bucket, {_warc_rec_sql(_SURT_URI_SQL)} AS rec,
+         text, {_SURT_URI_SQL} AS uri
+  FROM documents WHERE doc_id < 400
+),
+c AS (
+  SELECT uri AS url,
+         CAST(COALESCE(SUM(strlen(rec) + 4) OVER (
+              PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS rec_offset,
+         CAST(strlen(rec) AS BIGINT) AS rec_length,
+         md5(text) AS payload_md5
+  FROM r
+),
+k AS (
+  SELECT {sql_surt_key('url')} AS url_key, url, rec_offset, rec_length,
+         payload_md5
+  FROM c
+)
+SELECT url_key, url, rec_offset, rec_length, payload_md5
+FROM k WHERE {sql_surt_prefix_filter('url_key', _SURT_PROBE_DOMAIN)}
+"""
+
+
+def _domain_bucket_py(domain: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(domain.encode()).hexdigest()[:15], 16) % _SURT_DOMAIN_BUCKETS
+
+
+@_q("warc_cdx_surt_lookup_x", _CDX_SURT_ORACLE)
+def warc_cdx_surt_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-prefix lookup against the SURT-keyed stored CDX index:
+    publish once partitioned by registered-domain bucket, then answer
+    'all captures under site3.com' by pruning to the probe domain's
+    bucket and prefix-matching the SURT key — subdomains, apex, and
+    explicit-port hosts all resolve; sibling domains sharing a character
+    prefix never match."""
+    from darkbo_spark.operators.dedup import portable_hash60
+    from darkbo_spark.operators.domains import host_of, registered_domain
+    from darkbo_spark.queries.common import _stored_table
+
+    table = _stored_table(
+        sf_dir,
+        "warc_cdx_surt",
+        "documents",
+        lambda: _cdx_rows(spark, sf_dir, rec_sql=_warc_rec_sql(_SURT_URI_SQL))
+        .withColumn("url_key", surt_key(F.col("url")))
+        .withColumn(
+            "domain_bucket",
+            F.pmod(
+                portable_hash60(registered_domain(host_of(F.col("url")))),
+                F.lit(_SURT_DOMAIN_BUCKETS),
+            ).cast("int"),
+        )
+        .repartition("domain_bucket"),
+        partition_by=["domain_bucket"],
+        tag=f"surt_dom{_SURT_DOMAIN_BUCKETS}_v1",
+    )
+    return (
+        table.read(spark)
+        .filter(F.col("domain_bucket") == _domain_bucket_py(_SURT_PROBE_DOMAIN))
+        .filter(surt_prefix_filter(F.col("url_key"), _SURT_PROBE_DOMAIN))
+        .select("url_key", "url", "rec_offset", "rec_length", "payload_md5")
     )

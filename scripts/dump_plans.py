@@ -154,6 +154,14 @@ CHECKS = {
         "PartitionFilters: [url_bucket", "BroadcastHashJoin",
         "!CartesianProduct", "!SortMergeJoin",
     ],
+    # --- SURT domain-prefix lookup: the probe domain's bucket prunes at
+    # the stored scan (one partition of the index), the prefix match is a
+    # codegen StartsWith filter — no join at all, no product, no rescan
+    # of the dump
+    "warc_cdx_surt_lookup_x": [
+        "PartitionFilters: [", "domain_bucket",
+        "!CartesianProduct", "!SortMergeJoin",
+    ],
     # --- revisit resolution: the body re-attach is an equi-join on the
     # content digest (near-unique key) — never a product; responses pass
     # through without a shuffle of their payloads

@@ -133,3 +133,102 @@ def test_canonical_url_idempotent_property(spark):
     assert len(out) == len(urls)
     for r in out:
         assert r.c1 == r.c2, r
+
+
+def test_surt_key_rules(spark):
+    """SURT = canonical url with reversed comma-joined host labels:
+    lowercasing, fragment drop, default-port drop, trailing-slash strip,
+    and query sort all apply BEFORE the reorder; explicit non-default
+    ports survive after the host labels."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.functions.urlnorm import surt_key
+
+    cases = {
+        "https://www.Example.com:443/a/b/?y=2&x=1#frag": "com,example,www)/a/b?x=1&y=2",
+        "http://Example.com:80/": "com,example)/",
+        "https://sub.site.org:8443/p": "org,site,sub:8443)/p",
+        "http://host.com/path": "com,host)/path",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
+    got = {r.url: r.k for r in df.select("url", surt_key(F.col("url")).alias("k")).collect()}
+    assert got == cases
+
+
+def test_surt_prefix_filter_never_matches_sibling_domains(spark):
+    """'example.com' must match apex, subdomains, and explicit-port hosts
+    of example.com — and never 'exampleco.com' or 'example.com.evil.net'
+    (reversed ordering puts the TLD first, so a spoofing suffix can't
+    collide either)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.functions.urlnorm import surt_key, surt_prefix_filter
+
+    urls = {
+        "https://example.com/a": True,
+        "https://www.example.com/a": True,
+        "https://deep.www.example.com/a": True,
+        "https://example.com:8080/a": True,
+        "https://exampleco.com/a": False,
+        "https://example.com.evil.net/a": False,
+        "https://notexample.com/a": False,
+    }
+    df = spark.createDataFrame(pd.DataFrame({"url": list(urls)}))
+    got = {
+        r.url: r.m
+        for r in df.select(
+            "url",
+            surt_prefix_filter(
+                surt_key(F.col("url")), "example.com"
+            ).alias("m"),
+        ).collect()
+    }
+    assert got == urls
+
+
+def test_surt_sql_twin_parity(spark):
+    """The DuckDB twin produces byte-identical SURT keys and prefix
+    verdicts over a url grid (the same parity contract canonical_url
+    holds)."""
+    import itertools
+
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.functions.urlnorm import (
+        sql_surt_key,
+        sql_surt_prefix_filter,
+        surt_key,
+        surt_prefix_filter,
+    )
+
+    urls = [
+        f"{scheme}://Sub{i % 3}.Example{i % 2}.COM{port}{path}{q}"
+        for i, (scheme, port, path, q) in enumerate(
+            itertools.product(
+                ["http", "HTTPS"],
+                ["", ":80", ":443", ":9090"],
+                ["/", "/A/b/", "/x"],
+                ["", "?z=1&a=2&m=0"],
+            )
+        )
+    ]
+    pdf = pd.DataFrame({"url": urls})
+    df = spark.createDataFrame(pdf)
+    got_spark = [
+        (r.k, r.m)
+        for r in df.select(
+            surt_key(F.col("url")).alias("k"),
+            surt_prefix_filter(surt_key(F.col("url")), "example0.com").alias("m"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("u", pdf)
+    got_duck = con.execute(
+        f"SELECT {sql_surt_key('url')} AS k, "
+        f"{sql_surt_prefix_filter(sql_surt_key('url'), 'example0.com')} AS m FROM u"
+    ).fetchall()
+    assert got_spark == [(k, bool(m)) for k, m in got_duck]
