@@ -137,13 +137,21 @@ def search_text(
 
 
 # ---------------------------------------------------------------------------
-# Boolean extension — Whoosh QueryParser's OR / NOT operators (uppercase
-# keywords, Whoosh precedence NOT > AND > OR; AND is the default group so
-# an explicit AND is a no-op separator). Parenthesized grouping is not
-# implemented (the reference never parenthesizes; documented limit).
+# Boolean extension — Whoosh QueryParser's OR / NOT operators and
+# parenthesized grouping (uppercase keywords, Whoosh precedence
+# NOT > AND > OR, parens override; AND is the default group so an
+# explicit AND is a no-op separator). The recursive-descent parse
+# flattens to DNF — an OR of AND-clauses, each with positive and negated
+# factors — because that is exactly the shape the matcher executes
+# (union of clause matches, negation as candidate anti-join). A negated
+# GROUP applies De Morgan: NOT (a OR b) folds both negations into the
+# enclosing clause; NOT (a AND b) distributes into one clause per
+# negated factor. DNF distribution is worst-case exponential in nesting
+# depth, which is irrelevant at user-query sizes (Whoosh normalizes the
+# same way).
 # ---------------------------------------------------------------------------
 
-_BOOL_TOKEN = re.compile(r'"[^"]*"|\S+')
+_BOOL_TOKEN = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
 
 
 @dataclass
@@ -167,50 +175,152 @@ class BoolQuery:
 _FIELDED = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(\S+)$")
 
 
+# a literal is (kind, payload, negated): kind "term" (analyzed word),
+# "phrase" (verbatim), or "fielded" ((field, value)); a DNF is a list of
+# clauses, each a list of literals
+_Lit = tuple
+
+
+def _analyze_factor(raw: str, fields: tuple[str, ...]) -> list[tuple]:
+    """One non-operator token → its positive literals (a multi-word token
+    contributes one term literal per analyzed word, like the flat
+    parser)."""
+    fm = _FIELDED.match(raw)
+    if fm and fm.group(1).lower() in fields:
+        return [("fielded", (fm.group(1).lower(), fm.group(2).lower()))]
+    if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        ph = raw[1:-1].strip().lower()
+        return [("phrase", ph)] if ph else []
+    return [
+        ("term", w)
+        for w in _WORD.findall(raw.lower())
+        if len(w) >= 2 and w not in STOP_WORDS
+    ]
+
+
+def _dnf_and(a: list[list[_Lit]], b: list[list[_Lit]]) -> list[list[_Lit]]:
+    return [ca + cb for ca in a for cb in b]
+
+
+def _dnf_neg(dnf: list[list[_Lit]]) -> list[list[_Lit]]:
+    """De Morgan over a DNF: NOT (OR of clauses) = AND over each clause's
+    negation; NOT (AND of literals) = OR of the flipped literals."""
+    out: list[list[_Lit]] = [[]]
+    for clause in dnf:
+        if not clause:
+            return []  # NOT(match-all) matches nothing
+        flipped = [[(k, v, not n)] for (k, v, n) in clause]
+        out = _dnf_and(out, flipped)
+    return out
+
+
+class _TokStream:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str | None:
+        t = self.peek()
+        self.i += 1
+        return t
+
+
+def _parse_or(p: _TokStream, fields, depth: int = 0) -> list[list[_Lit]]:
+    dnf = _parse_and(p, fields, depth)
+    while p.peek() == "OR":
+        p.next()
+        dnf = dnf + _parse_and(p, fields, depth)
+    return dnf
+
+
+def _parse_and(p: _TokStream, fields, depth: int) -> list[list[_Lit]]:
+    dnf: list[list[_Lit]] | None = None
+    while True:
+        t = p.peek()
+        if t is None or t == "OR":
+            break
+        if t == ")":
+            if depth > 0:
+                break  # closes the enclosing group
+            p.next()  # unbalanced close at top level — noise, skip
+            continue
+        if t == "AND":
+            p.next()
+            continue
+        u = _parse_unary(p, fields, depth)
+        if u is None:
+            continue
+        dnf = u if dnf is None else _dnf_and(dnf, u)
+    return dnf if dnf is not None else [[]]
+
+
+def _parse_unary(p: _TokStream, fields, depth: int) -> list[list[_Lit]] | None:
+    t = p.peek()
+    if t == "NOT":
+        # consume NOT plus any no-op separators / repeated NOTs after it
+        # (the flat parser's `negate = True` never toggled back)
+        while p.peek() in ("NOT", "AND"):
+            p.next()
+        nxt = p.peek()
+        if nxt is None or nxt in ("OR", ")"):
+            return None  # stray trailing NOT — ignored, like the flat parser
+        if nxt == "(":
+            inner = _parse_primary(p, fields, depth)
+            return _dnf_neg(inner) if inner is not None else None
+        p.next()
+        # plain token: every analyzed word negated WITHIN one clause
+        # (flat-parser behavior for multi-word tokens under NOT)
+        lits = _analyze_factor(nxt, fields)
+        return [[(k, v, True) for k, v in lits]] if lits else None
+    return _parse_primary(p, fields, depth)
+
+
+def _parse_primary(p: _TokStream, fields, depth: int) -> list[list[_Lit]] | None:
+    t = p.next()
+    if t == "(":
+        inner = _parse_or(p, fields, depth + 1)
+        if p.peek() == ")":
+            p.next()
+        return inner
+    lits = _analyze_factor(t, fields)
+    return [[(k, v, False) for k, v in lits]] if lits else None
+
+
 def parse_boolean_query(
     text: str, fields: tuple[str, ...] = ()
 ) -> BoolQuery:
-    """OR-of-AND-clauses with NOT'd factors. Factors are analyzed exactly
-    like parse_query (lowercase \\w+, stopwords and len<2 dropped — a
-    negated stopword therefore vanishes, matching Whoosh's analyzer-first
-    behavior); quoted phrases are factors too. A `field:value` token whose
-    field is in `fields` becomes a fielded exact-match factor (Whoosh
-    fielded syntax); unknown-field tokens fall back to plain term
-    analysis of the whole token, like Whoosh's default-field behavior."""
+    """OR-of-AND-clauses with NOT'd factors and parenthesized grouping
+    (`(a OR b) AND c` distributes to `a c OR b c`). Factors are analyzed
+    exactly like parse_query (lowercase \\w+, stopwords and len<2 dropped
+    — a negated stopword therefore vanishes, matching Whoosh's
+    analyzer-first behavior); quoted phrases are factors too. A
+    `field:value` token whose field is in `fields` becomes a fielded
+    exact-match factor (Whoosh fielded syntax); unknown-field tokens fall
+    back to plain term analysis of the whole token, like Whoosh's
+    default-field behavior. Ungrouped queries parse to the identical
+    BoolQuery the round-5 flat parser produced (pinned in tests)."""
+    dnf = _parse_or(_TokStream(_BOOL_TOKEN.findall(text or "")), fields)
     clauses: list[BoolClause] = []
-    cur = BoolClause()
-    negate = False
-    for raw in _BOOL_TOKEN.findall(text or ""):
-        if raw == "OR":
-            clauses.append(cur)
-            cur = BoolClause()
-            negate = False
-            continue
-        if raw == "AND":
-            continue
-        if raw == "NOT":
-            negate = True
-            continue
-        fm = _FIELDED.match(raw)
-        if fm and fm.group(1).lower() in fields:
-            cur.fielded.append((fm.group(1).lower(), fm.group(2).lower(), negate))
-            negate = False
-            continue
-        if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
-            ph = raw[1:-1].strip().lower()
-            if ph:
-                (cur.not_phrases if negate else cur.phrases).append(ph)
-            negate = False
-            continue
-        for w in _WORD.findall(raw.lower()):
-            if len(w) < 2 or w in STOP_WORDS:
-                continue
-            dst = cur.not_terms if negate else cur.terms
-            if w not in dst:
-                dst.append(w)
-        negate = False
-    clauses.append(cur)
-    return BoolQuery(clauses=[c for c in clauses if c.has_positive() or c.not_terms or c.not_phrases])
+    for lits in dnf:
+        c = BoolClause()
+        for kind, payload, neg in lits:
+            if kind == "term":
+                dst = c.not_terms if neg else c.terms
+                if payload not in dst:
+                    dst.append(payload)
+            elif kind == "phrase":
+                (c.not_phrases if neg else c.phrases).append(payload)
+            else:
+                c.fielded.append((payload[0], payload[1], neg))
+        clauses.append(c)
+    return BoolQuery(
+        clauses=[
+            c for c in clauses if c.has_positive() or c.not_terms or c.not_phrases
+        ]
+    )
 
 
 def boolean_query_tokens(bq: BoolQuery) -> set[str]:

@@ -145,3 +145,54 @@ def parsed_search_fielded_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _FIELDED_QUERY, "text", "doc_id", top_k=10,
         postings=stored, fields=("lang", "source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parenthesized grouping (r6 ask #7): `(scan OR batch) NOT "window agg"`
+# — the group distributes over the NOT'd phrase into two DNF clauses
+# (scan minus phrase, batch minus phrase), exercising group-parse,
+# distribution, and phrase negation in one oracled query. Matching is
+# the clause union; ranking stays BM25 over the positive words (the
+# negated phrase never scores).
+# ---------------------------------------------------------------------------
+
+_GROUPED_QUERY = '(scan OR batch) NOT "window agg"'
+
+_GQ = parse_boolean_query(_GROUPED_QUERY)
+assert [(c.terms, c.not_phrases) for c in _GQ.clauses] == [
+    (["scan"], ["window agg"]),
+    (["batch"], ["window agg"]),
+]
+
+_GROUPED_ORACLE = f"""
+WITH {_BM25_CTES},
+ph AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text), '{phrase_regex("window agg")}')
+),
+c1 AS (
+  SELECT DISTINCT doc_id FROM tf
+  WHERE token = 'scan' AND doc_id NOT IN (SELECT doc_id FROM ph)
+),
+c2 AS (
+  SELECT DISTINCT doc_id FROM tf
+  WHERE token = 'batch' AND doc_id NOT IN (SELECT doc_id FROM ph)
+),
+matched AS (SELECT doc_id FROM c1 UNION SELECT doc_id FROM c2)
+SELECT tf.doc_id,
+       CAST(SUM(CAST({_BM25_W} AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+WHERE token IN ('batch', 'scan')
+  AND tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("parsed_search_grouped_x", _GROUPED_ORACLE)
+def parsed_search_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.queryparse import search_boolean
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_boolean(docs, _GROUPED_QUERY, "text", "doc_id", top_k=10)

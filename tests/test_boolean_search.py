@@ -103,3 +103,116 @@ def test_stored_postings_serving_equals_inline(spark):
         for r in search_boolean(docs, q, postings=pruned).collect()
     }
     assert inline == stored and inline
+
+
+# ---------------------------------------------------------------------------
+# Parenthesized grouping (r6 ask #7)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_or_distributes_over_and():
+    from darkbo_spark.operators.queryparse import parse_boolean_query
+
+    bq = parse_boolean_query("(alpha OR beta) AND gamma")
+    assert [(c.terms, c.not_terms) for c in bq.clauses] == [
+        (["alpha", "gamma"], []),
+        (["beta", "gamma"], []),
+    ]
+    # grouping really changes the parse: ungrouped binds AND tighter
+    flat = parse_boolean_query("alpha OR beta AND gamma")
+    assert [(c.terms, c.not_terms) for c in flat.clauses] == [
+        (["alpha"], []),
+        (["beta", "gamma"], []),
+    ]
+
+
+def test_grouped_not_applies_de_morgan():
+    from darkbo_spark.operators.queryparse import parse_boolean_query
+
+    # NOT (a OR b) = NOT a AND NOT b — folds into the enclosing clause
+    bq = parse_boolean_query("gamma NOT (alpha OR beta)")
+    assert [(c.terms, c.not_terms) for c in bq.clauses] == [
+        (["gamma"], ["alpha", "beta"])
+    ]
+    # NOT (a AND b) = NOT a OR NOT b — distributes into one clause each
+    bq2 = parse_boolean_query("gamma NOT (alpha beta)")
+    assert [(c.terms, c.not_terms) for c in bq2.clauses] == [
+        (["gamma"], ["alpha"]),
+        (["gamma"], ["beta"]),
+    ]
+
+
+def test_nested_groups_and_mixed_factors():
+    from darkbo_spark.operators.queryparse import parse_boolean_query
+
+    bq = parse_boolean_query('((alpha OR beta) (gamma OR delta))')
+    assert [c.terms for c in bq.clauses] == [
+        ["alpha", "gamma"], ["alpha", "delta"],
+        ["beta", "gamma"], ["beta", "delta"],
+    ]
+    # phrases and fielded factors distribute like terms
+    bq2 = parse_boolean_query(
+        '("window agg" OR lang:en) scan', fields=("lang",)
+    )
+    assert [
+        (c.terms, c.phrases, c.fielded) for c in bq2.clauses
+    ] == [
+        (["scan"], ["window agg"], []),
+        (["scan"], [], [("lang", "en", False)]),
+    ]
+
+
+def test_grouped_parse_edge_cases_stay_flat_compatible():
+    from darkbo_spark.operators.queryparse import parse_boolean_query
+
+    # unbalanced parens degrade to noise, never raise
+    assert [c.terms for c in parse_boolean_query("(alpha OR beta").clauses] == [
+        ["alpha"], ["beta"]
+    ]
+    assert [c.terms for c in parse_boolean_query("alpha) beta").clauses] == [
+        ["alpha", "beta"]
+    ]
+    # flat-parser pins: repeated NOT doesn't toggle; stray NOT ignored;
+    # explicit AND is a no-op separator
+    assert [
+        (c.terms, c.not_terms)
+        for c in parse_boolean_query("alpha NOT NOT beta").clauses
+    ] == [(["alpha"], ["beta"])]
+    assert [
+        (c.terms, c.not_terms) for c in parse_boolean_query("alpha NOT").clauses
+    ] == [(["alpha"], [])]
+    assert [
+        c.terms for c in parse_boolean_query("alpha AND beta").clauses
+    ] == [["alpha", "beta"]]
+
+
+def test_grouped_search_matches_hand_computed(spark):
+    """End-to-end matcher over a grouped query vs hand-computed doc set:
+    (cat OR dog) NOT "red fox" — union of the two term matches minus
+    phrase matches."""
+    import pandas as pd
+
+    from darkbo_spark.operators.queryparse import search_boolean
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "the cat sat quietly",          # cat -> match
+                    "a dog barked at dawn",         # dog -> match
+                    "the cat saw a red fox today",  # cat but phrase -> out
+                    "a red fox and a dog ran",      # dog but phrase -> out
+                    "red fox only here",            # no positive -> out
+                    "nothing relevant at all",      # no positive -> out
+                ],
+            }
+        )
+    )
+    got = {
+        r.doc_id
+        for r in search_boolean(
+            docs, '(cat OR dog) NOT "red fox"', "text", "doc_id", top_k=10
+        ).collect()
+    }
+    assert got == {1, 2}
