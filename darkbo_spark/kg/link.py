@@ -245,3 +245,43 @@ def apply_fuzzy_fallback(
             .drop("s_norm", "_fb_eid")
         )
     return linked
+
+
+def augment_dictionary(entity_dict: DataFrame, nil: DataFrame) -> DataFrame:
+    """Dictionary GROWTH — close the NIL-mining loop: one new canonical
+    entity per mined surface (kg/temporal.nil_candidates output), eid
+    'nil:<surface_norm>' (namespaced so grown ids never collide with
+    curated ones), alias = the candidate's example surface, which
+    normalizes back to surface_norm — so a relink with the grown
+    dictionary picks up EVERY mention of the recurring surface. Returns
+    the (eid, alias) union; feed it back through link_entities /
+    run_pipeline for the round trip. Scale shape: the nil table is
+    recurring-surface-bounded (far smaller than the mention stream) and
+    the union stays on the dictionary side of the broadcast join."""
+    new = nil.select(
+        F.concat(F.lit("nil:"), F.col("surface_norm")).alias("eid"),
+        F.col("example_surface").alias("alias"),
+    )
+    return entity_dict.select("eid", "alias").unionByName(new)
+
+
+def link_rate(linked: DataFrame) -> DataFrame:
+    """One metrics row over subject mentions: (n_mentions, n_linked,
+    link_rate 6dp) — the before/after evidence a dictionary-growth pass
+    publishes with its run."""
+    return (
+        linked.agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.sum(F.col("subj_eid").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_linked"),
+        )
+        .select(
+            "n_mentions",
+            "n_linked",
+            F.round(
+                F.col("n_linked").cast("double") / F.col("n_mentions").cast("double"),
+                6,
+            ).alias("link_rate"),
+        )
+    )

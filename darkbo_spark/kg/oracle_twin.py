@@ -807,3 +807,30 @@ GROUP BY surface_norm
 HAVING COUNT(*) >= {min_mentions}
 ORDER BY surface_norm
 """
+
+
+def dict_growth_oracle_sql(id_limit: int = 240, min_mentions: int = 2) -> str:
+    """Dictionary-growth round-trip replay: the surfaces unlinked against
+    the holey dictionary, with the PREDICTED post-growth link status —
+    a mined (recurring) surface must link after augment_dictionary +
+    relink, a singleton must stay unlinked. The Spark side reports the
+    OBSERVED status from an actual relink with the grown dictionary, so
+    any normalization drift between miner and linker breaks the hash."""
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    return f"""{_sents_cte(id_limit)},
+{_dict_sql().lstrip()},
+ul AS (
+  SELECT {norm.format(c='t.subj')} AS surface_norm
+  FROM triples t
+  LEFT JOIN dict_norm ds ON {norm.format(c='t.subj')} = ds.alias_norm
+                        AND ds.alias_norm NOT LIKE 'r%'
+  WHERE ds.eid IS NULL
+)
+SELECT surface_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(CASE WHEN COUNT(*) >= {min_mentions} THEN 1 ELSE 0 END AS BIGINT)
+         AS linked_after
+FROM ul
+GROUP BY surface_norm
+ORDER BY surface_norm
+"""

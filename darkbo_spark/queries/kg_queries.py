@@ -534,3 +534,46 @@ def kg_nil_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nil_candidates(
         _dated_linked_twin(spark, sf_dir, dictionary=holey_dict), min_mentions=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-growth round trip (r6 ask #8): NIL mining exists to GROW the
+# dictionary — this query closes the loop: link against the holey
+# dictionary, mine recurring unlinked surfaces, augment the dictionary
+# (kg/link.augment_dictionary), RELINK the same corpus, and report each
+# previously-unlinked surface's observed post-growth status. The oracle
+# predicts that status from the mining rule alone, so the hash fails if
+# the miner's normalization ever drifts from the linker's.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.kg.oracle_twin import dict_growth_oracle_sql  # noqa: E402
+
+
+@_q("kg_dict_growth_x", dict_growth_oracle_sql(240, min_mentions=2))
+def kg_dict_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine → augment → relink on the same corpus: every recurring
+    unlinked surface links after growth (linked_after=1), singletons
+    stay NIL — observed from a real second link pass, not asserted."""
+    from darkbo_spark.kg.link import _norm, augment_dictionary
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+    from darkbo_spark.kg.temporal import nil_candidates
+
+    holey = twin_entity_dict(spark).filter(~_norm(F.col("alias")).startswith("r"))
+    linked1 = _dated_linked_twin(spark, sf_dir, dictionary=holey)
+    grown = augment_dictionary(holey, nil_candidates(linked1, min_mentions=2))
+    linked2 = _dated_linked_twin(spark, sf_dir, dictionary=grown)
+    before = (
+        linked1.filter(F.col("subj_eid").isNull())
+        .groupBy(_norm(F.col("subj")).alias("surface_norm"))
+        .agg(F.count("*").cast("bigint").alias("n_mentions"))
+    )
+    after = (
+        linked2.select(_norm(F.col("subj")).alias("surface_norm"), "subj_eid")
+        .groupBy("surface_norm")
+        .agg(
+            F.max(F.col("subj_eid").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("linked_after")
+        )
+    )
+    return before.join(after, "surface_norm")

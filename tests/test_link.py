@@ -103,3 +103,54 @@ def test_upsert_semantics(spark):
         (r.id, r.op) for r in split_created_updated(target, updates, "id").collect()
     }
     assert ops == {(2, "updated"), (3, "created")}
+
+
+def test_dictionary_growth_roundtrip_lifts_link_rate(spark):
+    """r6 ask #8: mine NIL candidates from a link pass against a HOLEY
+    dictionary, augment the dictionary, relink the SAME corpus — every
+    previously-unlinked recurring surface links, and the link rate
+    strictly rises. The metrics rows are the before/after evidence a
+    growth pass publishes."""
+    from darkbo_spark.kg.incremental import extract_and_link
+    from darkbo_spark.kg.link import _norm, augment_dictionary, link_rate
+    from darkbo_spark.kg.pages import entity_dictionary_df, synth_pages
+    from darkbo_spark.kg.temporal import nil_candidates
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 150, seed=11)
+    full = entity_dictionary_df(spark)
+    # withhold every alias whose normalized form starts with 'a'-'c' —
+    # those entities become genuine dictionary misses
+    holey = full.filter(~_norm(F.col("alias")).rlike("^[a-c]"))
+    assert holey.count() < full.count()
+
+    linked1 = extract_and_link(pages, holey)
+    before = link_rate(linked1).collect()[0]
+    nil = nil_candidates(linked1, min_mentions=2)
+    assert nil.count() > 0  # the holes recur in the corpus
+
+    grown = augment_dictionary(holey, nil)
+    linked2 = extract_and_link(pages, grown)
+    after = link_rate(linked2).collect()[0]
+
+    # metrics: same mention universe, strictly more linked
+    assert after.n_mentions == before.n_mentions
+    assert after.n_linked > before.n_linked
+    assert after.link_rate > before.link_rate
+
+    # every mined surface's mentions are linked after the round trip,
+    # and they link to the namespaced grown entity
+    mined = {r.surface_norm for r in nil.collect()}
+    still = (
+        linked2.filter(F.col("subj_eid").isNull())
+        .select(_norm(F.col("subj")).alias("sn"))
+        .distinct()
+    )
+    assert not ({r.sn for r in still.collect()} & mined)
+    grown_links = (
+        linked2.filter(F.col("subj_eid").startswith("nil:"))
+        .select(_norm(F.col("subj")).alias("sn"))
+        .distinct()
+    )
+    assert {r.sn for r in grown_links.collect()} <= mined
+    assert grown_links.count() > 0
