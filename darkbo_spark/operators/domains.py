@@ -228,3 +228,113 @@ def cap_per_domain(
         phase1.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
     )
+
+
+def _rule_count(rules: SuffixRules) -> int:
+    return sum(
+        len(v)
+        for d in (rules.exact, rules.wildcard, rules.exception)
+        for v in d.values()
+    )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host: Column,
+    out_col: str = "domain",
+    rules: SuffixRules | None = None,
+    impl: str = "auto",
+    expr_rule_budget: int = 64,
+) -> DataFrame:
+    """Attach the registered domain of `host` as `out_col` under full PSL
+    semantics, choosing between two physically different, bit-identical
+    implementations (pytest-pinned equal on wildcard/exception grids):
+
+    * "expr" — registered_domain's inline column chain: every rule is a
+      plan literal (isin/CASE inside whole-stage codegen). Fastest at
+      seam-sized rule sets, but per-row cost GROWS with the rule count
+      (measured 2.5–2.9× wall from 16 → ~430 rules under equal load,
+      scripts/ab_domains.py), and the full ~9k-rule upstream PSL would
+      compile a megabyte-scale expression.
+    * "join" — ONE broadcast hash join per suffix label-depth k: the
+      host's last-k labels probe the (suffix → rule flags) table, so
+      per-row cost is K≈3–4 hash probes REGARDLESS of rule count — zero
+      shuffle, zero explode, no row multiplication (suffixes are unique
+      per depth). The form that survives the full PSL.
+
+    "auto" picks expr while the total rule count fits
+    `expr_rule_budget`, else join — so seam-sized deployments keep the
+    literal form and PSL-sized ones get the flat probes without callers
+    changing."""
+    import pandas as pd
+
+    rules = rules or load_rules()
+    if impl == "auto":
+        impl = "expr" if _rule_count(rules) <= expr_rule_budget else "join"
+    if impl == "expr":
+        return df.withColumn(out_col, registered_domain(host, rules))
+    if impl != "join":
+        raise ValueError(f"impl must be expr/join/auto, got {impl!r}")
+
+    spark = df.sparkSession
+    df = df.withColumn("_rd_host", host)
+    labels = F.split(F.col("_rd_host"), "\\.")
+    n = F.size(labels)
+    ks = sorted(set(rules.exact) | set(rules.wildcard) | set(rules.exception))
+    drop_cols = ["_rd_host"]
+    for k in ks:
+        suf = sorted(
+            set(rules.exact.get(k, frozenset()))
+            | set(rules.wildcard.get(k, frozenset()))
+            | set(rules.exception.get(k, frozenset()))
+        )
+        rdf = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        f"_rd_suf_{k}": suf,
+                        f"_rd_exact_{k}": [
+                            s in rules.exact.get(k, frozenset()) for s in suf
+                        ],
+                        f"_rd_wild_{k}": [
+                            s in rules.wildcard.get(k, frozenset()) for s in suf
+                        ],
+                        f"_rd_exc_{k}": [
+                            s in rules.exception.get(k, frozenset()) for s in suf
+                        ],
+                    }
+                )
+            )
+        )
+        cand = F.when(n >= k, F.array_join(F.slice(labels, n - (k - 1), k), "."))
+        df = df.withColumn(f"_rd_cand_{k}", cand)
+        df = df.join(rdf, df[f"_rd_cand_{k}"] == rdf[f"_rd_suf_{k}"], "left")
+        drop_cols += [f"_rd_cand_{k}", f"_rd_suf_{k}", f"_rd_exact_{k}",
+                      f"_rd_wild_{k}", f"_rd_exc_{k}"]
+
+    # recombine exactly like public_suffix_len: longest win via greatest,
+    # exceptions override ascending (largest matching k applied last)
+    cands = [F.lit(1)]
+    for k in ks:
+        if rules.exact.get(k):
+            cands.append(
+                F.when(
+                    F.coalesce(F.col(f"_rd_exact_{k}"), F.lit(False)), F.lit(k)
+                ).otherwise(F.lit(1))
+            )
+        if rules.wildcard.get(k):
+            cands.append(
+                F.when(
+                    F.coalesce(F.col(f"_rd_wild_{k}"), F.lit(False)) & (n >= k + 1),
+                    F.lit(k + 1),
+                ).otherwise(F.lit(1))
+            )
+    ps = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    for k in ks:
+        if rules.exception.get(k):
+            ps = F.when(
+                F.coalesce(F.col(f"_rd_exc_{k}"), F.lit(False)), F.lit(k - 1)
+            ).otherwise(ps)
+    reg = F.array_join(F.slice(labels, n - ps, ps + F.lit(1)), ".")
+    out = F.when(n <= ps, F.col("_rd_host")).otherwise(reg)
+    return df.withColumn(out_col, out).drop(*drop_cols)

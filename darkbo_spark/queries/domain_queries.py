@@ -15,9 +15,9 @@ from pyspark.sql import functions as F
 
 from darkbo_spark.operators.domains import (
     host_of,
-    registered_domain,
     sql_host_of,
     sql_registered_domain,
+    with_registered_domain,
 )
 from darkbo_spark.queries.common import _q, _t
 
@@ -51,8 +51,11 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last-2 vs multi-part-suffix last-3) is hash-verified on both
     branches."""
     d = _t(spark, sf_dir, "documents")
-    domain = registered_domain(host_of(F.expr(_DOC_URL_SQL)))
-    return d.groupBy(domain.alias("domain")).agg(
+    # impl="auto": broadcast-probe join form at PSL-sized rule sets
+    # (~430 rules → K flat hash probes; measured vs the inline-literal
+    # expr form in scripts/ab_domains.py + BENCH/BASELINE.md)
+    docs = with_registered_domain(d, host_of(F.expr(_DOC_URL_SQL)), "domain")
+    return docs.groupBy("domain").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
@@ -82,9 +85,7 @@ def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.domains import cap_per_domain
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    docs = d.withColumn(
-        "domain", registered_domain(host_of(F.expr(_DOC_URL_SQL)))
-    )
+    docs = with_registered_domain(d, host_of(F.expr(_DOC_URL_SQL)), "domain")
     return cap_per_domain(
         docs, k=_CAP_K, order_by=[F.col("n_chars").desc()]
     ).select("doc_id", "domain", F.col("rk").cast("bigint").alias("rk"))

@@ -76,7 +76,7 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.domains import (
         cap_per_domain,
         host_of,
-        registered_domain,
+        with_registered_domain,
     )
     from darkbo_spark.operators.sampling import deterministic_sample
     from darkbo_spark.operators.sharding import pack_shards
@@ -87,8 +87,8 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (ta.quality_score(F.col("text")) >= 0.7)
     )
     dd = exact_dedup(gated, "text", "doc_id")
-    with_domain = dd.withColumn(
-        "domain", registered_domain(host_of(F.expr(_DOC_URL_SQL)))
+    with_domain = with_registered_domain(
+        dd, host_of(F.expr(_DOC_URL_SQL)), "domain"
     )
     capped = cap_per_domain(with_domain, k=_PIPE_K, order_by=[F.col("n_chars").desc()])
     sampled = deterministic_sample(capped, _PIPE_FRACTION, salt=_PIPE_SALT)

@@ -141,3 +141,49 @@ def test_psl_parser_tolerates_upstream_noise():
     assert rules.exact == {2: frozenset({"co.uk"})}  # '*' and 'uk' dropped
     assert rules.wildcard == {1: frozenset({"ck"})}
     assert rules.exception == {2: frozenset({"www.ck"})}
+
+
+def test_join_impl_equals_expr_impl(spark):
+    """with_registered_domain's broadcast-probe join form is bit-identical
+    to the inline-literal expr form across exact/wildcard/exception/
+    default branches (the two physical plans must never diverge on
+    values — the auto switch flips on rule count alone)."""
+    import pandas as pd
+
+    from darkbo_spark.operators.domains import (
+        load_rules,
+        registered_domain,
+        with_registered_domain,
+    )
+
+    hosts = [
+        "www.example.co.uk", "example.co.uk", "co.uk",       # exact 2
+        "a.b.sch.uk", "b.sch.uk", "sch.uk",                  # wildcard
+        "www.foo.com", "foo.com", "com", "", "single",
+        "x.y.z.com.au", "deep.sub.kobe.jp", "www.metro.tokyo.jp",
+        "city.kawasaki.jp", "x.city.kawasaki.jp",            # exception
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"host": hosts}))
+    rules = load_rules()
+    a = {
+        r.host: r.domain
+        for r in df.withColumn(
+            "domain", registered_domain(F.col("host"), rules)
+        ).collect()
+    }
+    b = {
+        r.host: r.domain
+        for r in with_registered_domain(
+            df, F.col("host"), "domain", rules=rules, impl="join"
+        ).collect()
+    }
+    assert a == b
+    # auto picks join at the vendored subset size (>64 rules) and the
+    # same values come back
+    c = {
+        r.host: r.domain
+        for r in with_registered_domain(
+            df, F.col("host"), "domain", rules=rules, impl="auto"
+        ).collect()
+    }
+    assert c == a
