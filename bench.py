@@ -121,6 +121,9 @@ HEADLINE = [
     "kg_entity_profiles_x",
     "kg_fact_history_x",
     "kg_nil_candidates_x",
+    # round 7 additions
+    "parsed_search_grouped_x",
+    "kg_dict_growth_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
@@ -187,6 +190,7 @@ def main() -> int:
         ("parsed_search_stored", "bm25_postings"),
         ("ann_ivf_stored", "ivf_index"),
         ("warc_cdx_lookup_x", "warc_cdx"),
+        ("warc_cdx_surt_lookup_x", "warc_cdx_surt"),
     ):
         fn = qs[name]
         drop_stored_table(stored_name)

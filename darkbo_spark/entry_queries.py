@@ -62,83 +62,85 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # entries keep their green rows on record in CORRECTNESS_r0{1..5}.json and
 # stay verified by scripts/oracle_check.py (all queries, every session).
 #
-# Round-6 window: 15 never-sampled (this round's new oracled queries:
-# byte-trim, stored boolean/fielded serve, anchor-text entity evidence,
-# entity co-occurrence PMI, CDX index + stored CDX lookup + revisit
-# resolution, temporal fact resolution + conflict inventory, entity
-# typing + fact support + profile capstone, fact-history envelopes +
-# NIL mining) + all 9 r3-stale + 19 of the 41 r4-stale + 7
-# refreshes of r5-green entries whose code round 6 touched (spans
-# byte-trim rework, warc gzip, domains full-PSL, semdedup learned
-# quantizer, queryparse stored routing, retrieval stored-serve plumbing —
-# the inline boolean/fielded forms cede their refresh slots to their new
-# stored twins, which drive the same matcher). The 22 r4 entries left out
-# (TPC-H star/event aggregates on untouched code paths: q1/q3/q5,
-# region/lineitem rollups, pivot, grouping sets, first-window,
-# heavy-hitters/user-counts exact, as-of, chunk_documents_x, plus
-# url_dedup_counts / url_canonicalize / unigram_logprob_scores /
-# shard_pack_x / redact_pii_docs / repetition_signals /
-# dedup_keep_best_x / embed_documents_x / fuzzy_link_parts /
-# hybrid_search_bm25, which ceded their slots to this round's new
-# oracled queries) sit at staleness exactly 2 and lead the round-7
-# window.
+# Round-7 window (the corpus outgrew strict ≤2 staleness: 118 oracled
+# queries over 50 slots needs ⌈118/50⌉ = 3 windows for full coverage, so
+# the invariant is now max staleness ≤ 3 with the OLDEST tier always
+# leading): 3 never-sampled (this round's new oracled queries: SURT
+# domain-prefix CDX lookup, grouped boolean parse, dictionary-growth
+# round trip) + ALL 22 r4-stale entries (staleness 3 — exactly the set
+# the r6 window note promised would lead) + 3 refreshes of r6-green
+# entries whose code round 7 changed (kg_facts_asof_x: functional-slot
+# resolution semantics + new envelope columns; domain_stats_x /
+# domain_caps_x: the expr→join registered-domain switch) + 22 of the 43
+# r5-stale entries, touched/flagged first (training_pipeline_x rides the
+# domains switch; parsed_search_boolean_x / parsed_search_fielded_x /
+# parsed_search_topk ride the grouped-parser rewrite; host_components_x
+# / host_pagerank_x were r6 perf flags). The 21 r5-stale entries left
+# out (bpe_real_token_counts_x, kg_entity_pagerank_x, kg_incremental_x,
+# lang_id, line_dedup_counts_x, line_dedup_trim_x, quality_classifier_x,
+# quality_percentile_filter_x, quality_scores, rolling_fingerprints_x,
+# route_queries, running_totals, sessionize_events, simhash_docs_x,
+# source_checksums, tfidf_topk, title_derivation, token_counts_by_lang,
+# training_data_filter, value_percentiles, window_rank_lag) sit at
+# staleness 3 and lead the round-8 window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # -- tier 1: never driver-sampled (added in round 6) --
-    "dup_span_trim_bytes_x",
-    "parsed_search_boolean_stored",
-    "parsed_search_fielded_stored",
-    "anchor_entity_links_x",
-    "kg_entity_cooccurrence_x",
-    "warc_cdx_x",
-    "warc_cdx_lookup_x",
-    "warc_revisit_resolve_x",
+    # -- tier 1: never driver-sampled (added in round 7) --
+    "warc_cdx_surt_lookup_x",
+    "parsed_search_grouped_x",
+    "kg_dict_growth_x",
+    # -- tier 2: last green driver row is r4 (staleness 3) --
+    "asof_events_orders",
+    "chunk_documents_x",
+    "dedup_keep_best_x",
+    "embed_documents_x",
+    "events_in_first_window",
+    "fuzzy_link_parts",
+    "grouping_sets_events",
+    "heavy_hitters_exact",
+    "hybrid_search_bm25",
+    "pivot_event_counts",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "redact_pii_docs",
+    "region_rollup",
+    "repetition_signals",
+    "rollup_lineitem",
+    "shard_pack_x",
+    "unigram_logprob_scores",
+    "url_canonicalize",
+    "url_dedup_counts",
+    "user_counts_exact",
+    # -- tier 3: r6-green refreshes whose code round 7 changed --
     "kg_facts_asof_x",
-    "kg_fact_conflicts_x",
-    "kg_entity_types_x",
-    "kg_fact_support_x",
-    "kg_entity_profiles_x",
-    "kg_fact_history_x",
-    "kg_nil_candidates_x",
-    # -- tier 2: last green driver row is r3 --
-    "cosine_neardup_pairs",
-    "dense_topk",
-    "hybrid_search",
-    "merge_upsert",
-    "point_lookup",
-    "regex_extract_snippets",
-    "token_jaccard_pairs",
-    "top5_orders",
-    "upsert_created_updated",
-    # -- tier 2: last green driver row is r4 --
-    "ann_ivf_stored",
-    "bm25_topk",
-    "clean_text_parity",
-    "decontaminate_x",
-    "embed_link_candidates_x",
-    "flagship_relevance_topk",
-    "kg_canonicalize_driver_x",
-    "kg_canonicalize_x",
-    "kg_entity_degrees_x",
-    "kg_linked_salted_x",
-    "kg_linked_x",
-    "kg_triples_x",
-    "kg_two_hop_neighbors_x",
-    "minhash_lsh_pairs_x",
-    "neardup_clusters_x",
-    "parsed_search_incremental_x",
-    "prebuild_query_hybrid_x",
-    "simhash_neardup_pairs_x",
-    "training_mix_sample_x",
-    # -- tier 3: r5-green refreshes whose code paths round 6 touched --
-    "dup_spans_x",
-    "dup_span_trim_x",
-    "warc_parse_x",
     "domain_stats_x",
     "domain_caps_x",
-    "semantic_dedup_x",
-    "parsed_search_stored",
+    # -- tier 4: r5-stale, touched/flagged first --
+    "training_pipeline_x",
+    "parsed_search_boolean_x",
+    "parsed_search_fielded_x",
+    "parsed_search_topk",
+    "host_components_x",
+    "host_pagerank_x",
+    # -- tier 4: r5-stale, oldest-coverage fill --
+    "ann_ivf_full_probe",
+    "ann_multiprobe_exact",
+    "bpe_word_freqs_x",
+    "bpe_token_counts",
+    "content_ids",
+    "corpus_stats",
+    "cube_event_stats",
+    "customers_with_orders",
+    "customers_without_recent_orders",
+    "dedup_first_wins",
+    "doc_fingerprints",
+    "exact_dedup_docs",
+    "host_linkgraph_x",
+    "html_extract_parity",
+    "image_phash_x",
+    "json_props_agg",
 ]
 
 

@@ -254,7 +254,10 @@ def augment_dictionary(entity_dict: DataFrame, nil: DataFrame) -> DataFrame:
     curated ones), alias = the candidate's example surface, which
     normalizes back to surface_norm — so a relink with the grown
     dictionary picks up EVERY mention of the recurring surface. Returns
-    the (eid, alias) union; feed it back through link_entities /
+    the union under the INPUT dictionary's schema (grown rows fill
+    `canonical` with the example surface and any other column with a
+    typed null, so the pipeline's entity-table build consumes the grown
+    dictionary unchanged); feed it back through link_entities /
     run_pipeline for the round trip. Scale shape: the nil table is
     recurring-surface-bounded (far smaller than the mention stream) and
     the union stays on the dictionary side of the broadcast join."""
@@ -262,7 +265,15 @@ def augment_dictionary(entity_dict: DataFrame, nil: DataFrame) -> DataFrame:
         F.concat(F.lit("nil:"), F.col("surface_norm")).alias("eid"),
         F.col("example_surface").alias("alias"),
     )
-    return entity_dict.select("eid", "alias").unionByName(new)
+    types = dict(entity_dict.dtypes)
+    for c in entity_dict.columns:
+        if c in new.columns:
+            continue
+        new = new.withColumn(
+            c,
+            F.col("alias") if c == "canonical" else F.lit(None).cast(types[c]),
+        )
+    return entity_dict.unionByName(new.select(*entity_dict.columns))
 
 
 def link_rate(linked: DataFrame) -> DataFrame:

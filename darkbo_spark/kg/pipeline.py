@@ -75,8 +75,25 @@ def run_pipeline(
     fuzzy_fallback: str | None = None,
     facts_asof: str | None = None,
     fusion_mode: str = "auto",
+    mine_nil: bool = False,
+    nil_min_mentions: int = 2,
+    dictionary: DataFrame | None = None,
+    dictionary_fingerprint: str = "builtin_v1",
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; every stage is fingerprint-gated.
+
+    `mine_nil`: adds the `kg_nil_candidates` stage (recurring UNLINKED
+    subject surfaces from the published kg_triples — kg/temporal
+    .nil_candidates) as a fingerprint-gated table. The crawl-cadence
+    growth loop: run N mines, `grown_dictionary(spark, out_dir, dict)`
+    builds run N+1's dictionary, and run N+1 links the surfaces run N
+    missed (round trip pytest-measured as a link-rate lift).
+
+    `dictionary` / `dictionary_fingerprint`: the canonical entity
+    dictionary (default: kg/pages.entity_dictionary_df). A custom
+    dictionary MUST carry its own fingerprint — it feeds the eid_map /
+    kg_entities / kg_triples stage fingerprints, so a grown dictionary
+    correctly republishes the link output while an unchanged one skips.
 
     `fuzzy_fallback`: None (exact alias linking only, the default),
     "jaccard" or "embed" — second-chance linking for surfaces that miss
@@ -113,6 +130,10 @@ def run_pipeline(
             fuzzy_fallback=fuzzy_fallback,
             facts_asof=facts_asof,
             fusion_mode=fusion_mode,
+            mine_nil=mine_nil,
+            nil_min_mentions=nil_min_mentions,
+            dictionary=dictionary,
+            dictionary_fingerprint=dictionary_fingerprint,
         )
     finally:
         lock.release(lock_owner)
@@ -135,6 +156,10 @@ def _run_locked(
     fuzzy_fallback: str | None = None,
     facts_asof: str | None = None,
     fusion_mode: str = "auto",
+    mine_nil: bool = False,
+    nil_min_mentions: int = 2,
+    dictionary: DataFrame | None = None,
+    dictionary_fingerprint: str = "builtin_v1",
 ) -> PipelineResult:
     if pages is None:
         # html is omitted: the extract stage reads `text` only, and a real
@@ -189,7 +214,13 @@ def _run_locked(
     # `stage()` appends to per-run lists (GIL-atomic) and the two threads
     # touch disjoint tables, so no shared state races; any exception is
     # re-raised at join() before anything depends on eid_map. ----------------
-    entity_dict = entity_dictionary_df(spark)
+    entity_dict = (
+        dictionary if dictionary is not None else entity_dictionary_df(spark)
+    )
+    # the dictionary is a pipeline INPUT like pages: its fingerprint feeds
+    # every dictionary-derived stage, so a grown dictionary republishes
+    # eid_map/kg_entities/kg_triples while an unchanged one skips
+    dict_parent = _fp(input_fingerprint, "dict", dictionary_fingerprint)
     _dict_result: dict = {}
 
     def _dict_stages():
@@ -206,7 +237,7 @@ def _run_locked(
                 )
 
             eidmap_tbl, fp_m = stage(
-                "eid_map", input_fingerprint, f"cc_v2_{cc_mode}", build_eid_map
+                "eid_map", dict_parent, f"cc_v2_{cc_mode}", build_eid_map
             )
 
             def build_entities():
@@ -282,6 +313,26 @@ def _run_locked(
         f"_fb_{fuzzy_fallback or 'none'}",
         build_kg,
     )
+
+    # ---- optional NIL mining: the dictionary-growth worklist ------------
+    # Depends only on kg_triples (unlinked surfaces are right there in the
+    # published link output). Recurring-surface-bounded — far smaller than
+    # the mention stream — so the worklist writes single-file; the NEXT
+    # run consumes it via grown_dictionary().
+    if mine_nil:
+        from darkbo_spark.kg.temporal import nil_candidates
+
+        def build_nil():
+            return (
+                nil_candidates(
+                    kg_tbl.read(spark), min_mentions=nil_min_mentions
+                ).coalesce(1),
+                None,
+            )
+
+        stage(
+            "kg_nil_candidates", fp_k, f"nil_min{nil_min_mentions}_v1", build_nil
+        )
 
     # ---- optional temporal fusion: facts as-of + conflict inventory ------
     # Depends on kg_triples AND docs (the per-page crawl date joins back on
@@ -435,3 +486,17 @@ def maintain_pipeline(
         )
         tbl.expire(retain_last=retain_last)
     return rows
+
+
+def grown_dictionary(
+    spark: SparkSession, out_dir: str, entity_dict: DataFrame
+) -> DataFrame:
+    """The next crawl cycle's dictionary: `entity_dict` ∪ the NIL surfaces
+    a previous `run_pipeline(..., mine_nil=True)` published to
+    `kg_nil_candidates` under `out_dir` (kg/link.augment_dictionary —
+    namespaced 'nil:' eids). Pair with a fresh `dictionary_fingerprint`
+    (e.g. the nil table's current fingerprint) so the relink republishes."""
+    from darkbo_spark.kg.link import augment_dictionary
+
+    nil_tbl = make_table(out_dir, "kg_nil_candidates")
+    return augment_dictionary(entity_dict, nil_tbl.read(spark))

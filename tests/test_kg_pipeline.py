@@ -291,3 +291,54 @@ def test_cc_budget_parses_broadcast_threshold(spark):
             assert _driver_cc_budget_bytes(spark) == want, raw
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_pipeline_nil_mining_growth_roundtrip(spark, tmp_path):
+    """Crawl-cadence dictionary growth through the PIPELINE: run 1 with a
+    holey dictionary mines recurring unlinked surfaces into the
+    kg_nil_candidates stage table; grown_dictionary builds run 2's
+    dictionary; run 2 links the surfaces run 1 missed (strict link-rate
+    lift on identical pages). A rerun of run 1 skips the nil stage like
+    any other fingerprint-gated stage; a changed dictionary fingerprint
+    republishes the link output."""
+    from pyspark.sql import functions as F
+
+    from darkbo_spark.kg.link import _norm, link_rate
+    from darkbo_spark.kg.pages import entity_dictionary_df
+    from darkbo_spark.kg.pipeline import grown_dictionary, run_pipeline
+
+    holey = entity_dictionary_df(spark).filter(
+        ~_norm(F.col("alias")).rlike("^[a-c]")
+    )
+    out1 = str(tmp_path / "run1")
+    res1 = run_pipeline(
+        spark, out1, n_pages=150, seed=11, mine_nil=True,
+        dictionary=holey, dictionary_fingerprint="holey_v1",
+    )
+    assert "kg_nil_candidates" in res1.stages_run
+    assert res1.rows["kg_nil_candidates"] > 0
+
+    # rerun skips everything including the nil stage
+    res1b = run_pipeline(
+        spark, out1, n_pages=150, seed=11, mine_nil=True,
+        dictionary=holey, dictionary_fingerprint="holey_v1",
+    )
+    assert not res1b.stages_run
+
+    grown = grown_dictionary(spark, out1, holey)
+    out2 = str(tmp_path / "run2")
+    res2 = run_pipeline(
+        spark, out2, n_pages=150, seed=11,
+        dictionary=grown, dictionary_fingerprint="holey_v1+nil1",
+    )
+    r1 = link_rate(res1.tables["kg_triples"].read(spark)).collect()[0]
+    r2 = link_rate(res2.tables["kg_triples"].read(spark)).collect()[0]
+    assert r2.n_mentions == r1.n_mentions
+    assert r2.n_linked > r1.n_linked and r2.link_rate > r1.link_rate
+    # the grown entities actually carry links in run 2's published KG
+    assert (
+        res2.tables["kg_triples"].read(spark)
+        .filter(F.col("subj_eid").startswith("nil:"))
+        .count()
+        > 0
+    )
