@@ -162,6 +162,19 @@ CHECKS = {
         "PartitionFilters: [", "domain_bucket",
         "!CartesianProduct", "!SortMergeJoin",
     ],
+    # --- grouped boolean search: clause matches are broadcast postings
+    # joins unioned, ranking a top-k — grouping adds parse-time DNF
+    # clauses, never a plan product
+    "parsed_search_grouped_x": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct",
+    ],
+    # --- dictionary-growth round trip: two link passes (broadcast dict
+    # joins) + per-surface aggregates — no product anywhere; the
+    # before/after combine keys on the fine-grained surface norm
+    "kg_dict_growth_x": [
+        "BroadcastHashJoin", "HashAggregate", "!CartesianProduct",
+        "!BroadcastNestedLoopJoin",
+    ],
     # --- revisit resolution: the body re-attach is an equi-join on the
     # content digest (near-unique key) — never a product; responses pass
     # through without a shuffle of their payloads
