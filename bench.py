@@ -124,6 +124,7 @@ HEADLINE = [
     # round 7 additions
     "parsed_search_grouped_x",
     "kg_dict_growth_x",
+    "kg_nil_candidates_both_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

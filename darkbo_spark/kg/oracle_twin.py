@@ -834,3 +834,40 @@ FROM ul
 GROUP BY surface_norm
 ORDER BY surface_norm
 """
+
+
+def nil_candidates_both_oracle_sql(
+    id_limit: int = 240, min_mentions: int = 2
+) -> str:
+    """nil_candidates(side="both") replay: unlinked SUBJECT surfaces ∪
+    unlinked OBJECT surfaces of entity-valued predicates (literal-valued
+    slots — years, type strings — excluded), unioned BEFORE the rollup so
+    a surface recurring once per position clears the threshold."""
+    from darkbo_spark.kg.temporal import ENTITY_OBJ_PREDS
+
+    norm = "regexp_replace(lower(trim({c})), '^the ', '')"
+    preds = ", ".join(f"'{p}'" for p in ENTITY_OBJ_PREDS)
+    return f"""{_sents_cte(id_limit)},
+{_dict_sql().lstrip()},
+ul AS (
+  SELECT {norm.format(c='t.subj')} AS surface_norm, t.subj AS surface, t.url
+  FROM triples t
+  LEFT JOIN dict_norm ds ON {norm.format(c='t.subj')} = ds.alias_norm
+                        AND ds.alias_norm NOT LIKE 'r%'
+  WHERE ds.eid IS NULL
+  UNION ALL
+  SELECT {norm.format(c='t.obj')} AS surface_norm, t.obj AS surface, t.url
+  FROM triples t
+  LEFT JOIN dict_norm dob ON {norm.format(c='t.obj')} = dob.alias_norm
+                         AND dob.alias_norm NOT LIKE 'r%'
+  WHERE dob.eid IS NULL AND t.pred IN ({preds})
+)
+SELECT surface_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_docs,
+       MIN(surface) AS example_surface
+FROM ul
+GROUP BY surface_norm
+HAVING COUNT(*) >= {min_mentions}
+ORDER BY surface_norm
+"""

@@ -161,25 +161,68 @@ def fact_history(linked: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
     )
 
 
-def nil_candidates(linked: DataFrame, min_mentions: int = 2) -> DataFrame:
-    """Dictionary growth (NIL mining): subjects the link stage could NOT
+# predicates whose OBJECT position holds an entity mention (vs literals:
+# years for founded_in, type strings for is_a, place names handled by the
+# city dictionary) — the object-side NIL mining universe
+ENTITY_OBJ_PREDS = (
+    "founded_by",
+    "ceo_of",
+    "works_at",
+    "acquired",
+    "subsidiary_of",
+    "partnered_with",
+    "launched",
+)
+
+
+def nil_candidates(
+    linked: DataFrame,
+    min_mentions: int = 2,
+    side: str = "subj",
+    obj_preds: tuple[str, ...] = ENTITY_OBJ_PREDS,
+) -> DataFrame:
+    """Dictionary growth (NIL mining): surfaces the link stage could NOT
     resolve, grouped by the SAME normalization the linker matches with
     (lower/trim/leading-'the ' strip — kg/link._norm), kept when they
     recur. Recurring unlinked surfaces are exactly the entities the
     dictionary is missing; the output feeds the next dictionary build.
+
+    `side`: "subj" (default — every subject is an entity mention), "obj"
+    (objects of `obj_preds` only: object slots of literal-valued
+    predicates like founded_in/is_a are years and type strings, which
+    must never pollute the growth worklist), or "both" (union of the two
+    streams before the rollup, so a surface recurring once per position
+    still clears the threshold).
+
     One aggregate on the normalized-surface key (map-side combined —
     frequent candidates are the cheap case).
     Returns (surface_norm, n_mentions, n_docs, example_surface)."""
     from darkbo_spark.kg.link import _norm
 
+    def _side(surface_col: str, eid_col: str) -> DataFrame:
+        out = linked.filter(F.col(eid_col).isNull())
+        if surface_col == "obj":
+            out = out.filter(F.col("pred").isin(*obj_preds))
+        return out.select(
+            _norm(F.col(surface_col)).alias("surface_norm"),
+            F.col(surface_col).alias("surface"),
+            "url",
+        )
+
+    if side == "subj":
+        surfaces = _side("subj", "subj_eid")
+    elif side == "obj":
+        surfaces = _side("obj", "obj_eid")
+    elif side == "both":
+        surfaces = _side("subj", "subj_eid").unionByName(_side("obj", "obj_eid"))
+    else:
+        raise ValueError(f"side must be subj/obj/both, got {side!r}")
     return (
-        linked.filter(F.col("subj_eid").isNull())
-        .select(_norm(F.col("subj")).alias("surface_norm"), "subj", "url")
-        .groupBy("surface_norm")
+        surfaces.groupBy("surface_norm")
         .agg(
             F.count("*").cast("bigint").alias("n_mentions"),
             F.countDistinct("url").cast("bigint").alias("n_docs"),
-            F.min("subj").alias("example_surface"),
+            F.min("surface").alias("example_surface"),
         )
         .filter(F.col("n_mentions") >= min_mentions)
     )

@@ -577,3 +577,26 @@ def kg_dict_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return before.join(after, "surface_norm")
+
+
+from darkbo_spark.kg.oracle_twin import nil_candidates_both_oracle_sql  # noqa: E402
+
+
+@_q("kg_nil_candidates_both_x", nil_candidates_both_oracle_sql(240, min_mentions=2))
+def kg_nil_candidates_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-position NIL mining: subject surfaces ∪ object surfaces of
+    entity-valued predicates (founded_by/acquired/... — literal slots
+    like founded_in years and is_a type strings never pollute the
+    worklist), against the same holey dictionary as kg_nil_candidates_x."""
+    from darkbo_spark.kg.link import _norm
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+    from darkbo_spark.kg.temporal import nil_candidates
+
+    holey_dict = twin_entity_dict(spark).filter(
+        ~_norm(F.col("alias")).startswith("r")
+    )
+    return nil_candidates(
+        _dated_linked_twin(spark, sf_dir, dictionary=holey_dict),
+        min_mentions=2,
+        side="both",
+    )

@@ -323,3 +323,46 @@ def test_fusion_write_shapes_identical_content(spark, tmp_path):
         != F.pmod(F.xxhash64(F.col("subj_eid")), F.lit(32)).cast("int")
     ).count()
     assert bad == 0
+
+
+def test_nil_candidates_obj_side_excludes_literal_slots(spark):
+    """Object-side mining only considers entity-valued predicates: a
+    recurring unlinked YEAR (founded_in) or type string (is_a) never
+    enters the worklist; a recurring unlinked acquisition target does.
+    side='both' unions positions before the threshold."""
+    from darkbo_spark.kg.temporal import nil_candidates
+
+    rows = [
+        # obj entity surface recurs as acquisition target -> mined (side=obj)
+        ("u/1", 0, "acquired", "Zeta Corp", "e1", "2024-01-01"),
+        ("u/2", 0, "acquired", "Zeta Corp", "e1", "2024-01-01"),
+        # literal slots recur but must never be mined
+        ("u/1", 1, "founded_in", "1999", "e1", "2024-01-01"),
+        ("u/2", 1, "founded_in", "1999", "e1", "2024-01-01"),
+        ("u/1", 2, "is_a", "startup", "e1", "2024-01-01"),
+        ("u/2", 2, "is_a", "startup", "e1", "2024-01-01"),
+        # surface appearing once as subj and once as obj: only 'both'
+        # clears the threshold
+        ("u/3", 0, "works_at", "Mixed Co", None, "2024-01-01"),
+        ("u/4", 0, "acquired", "Mixed Co", "e1", "2024-01-01"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["url", "sent_idx", "pred", "obj", "subj_eid", "d"]
+    )
+    df["subj"] = ["A", "A", "A", "A", "A", "A", "Mixed Co", "A"]
+    df["obj_eid"] = [None, None, None, None, None, None, "e9", None]
+    linked = spark.createDataFrame(df).select(
+        "url", F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "subj", "pred", "obj", "subj_eid", "obj_eid",
+        F.to_date("d").alias("warc_ts"),
+    )
+    got_obj = {
+        r.surface_norm: r.n_mentions
+        for r in nil_candidates(linked, min_mentions=2, side="obj").collect()
+    }
+    assert got_obj == {"zeta corp": 2}
+    got_both = {
+        r.surface_norm: r.n_mentions
+        for r in nil_candidates(linked, min_mentions=2, side="both").collect()
+    }
+    assert got_both == {"zeta corp": 2, "mixed co": 2}
