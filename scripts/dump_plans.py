@@ -222,6 +222,12 @@ CHECKS = {
     "kg_nil_candidates_x": [
         "SortAggregate", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
     ],
+    # --- both-position NIL mining: the subj/obj streams UNION before the
+    # same surface-key rollup — still one aggregate, no funnel/product
+    "kg_nil_candidates_both_x": [
+        "Union", "SortAggregate", "hashpartitioning",
+        "!SinglePartition", "!CartesianProduct",
+    ],
     # --- entity profile capstone: aggregates + modal-type window + the
     # final entity-key joins — everything keys on eid, no funnel/product
     "kg_entity_profiles_x": [
