@@ -125,6 +125,7 @@ HEADLINE = [
     "parsed_search_grouped_x",
     "kg_dict_growth_x",
     "kg_nil_candidates_both_x",
+    "warc_cdx_incremental_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

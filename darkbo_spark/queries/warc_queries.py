@@ -113,12 +113,11 @@ FROM r
 """
 
 
-def _cdx_rows(
-    spark: SparkSession, sf_dir: str, rec_sql: str = _WARC_REC_SQL
+def _cdx_rows_from(
+    spark: SparkSession, d: DataFrame, rec_sql: str = _WARC_REC_SQL
 ) -> DataFrame:
-    """The assembled-stream CDX rows both the inline query and the stored
-    build share: 8 member streams (bucket = file), each walked ONCE by
-    the real indexer."""
+    """CDX rows over a documents-shaped frame (doc_id, text): 8 member
+    streams (bucket = file), each walked ONCE by the real indexer."""
     import hashlib
 
     from darkbo_spark.sources.warc import cdx_records
@@ -143,7 +142,6 @@ def _cdx_rows(
             rows, columns=["bucket", "url", "rec_offset", "rec_length", "payload_md5"]
         )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     rec_df = d.select(
         "doc_id",
         (F.col("doc_id") % 8).alias("bucket"),
@@ -154,6 +152,15 @@ def _cdx_rows(
         "bucket bigint, url string, rec_offset bigint, rec_length bigint,"
         " payload_md5 string",
     )
+
+
+def _cdx_rows(
+    spark: SparkSession, sf_dir: str, rec_sql: str = _WARC_REC_SQL
+) -> DataFrame:
+    """The assembled-stream CDX rows both the inline query and the stored
+    build share."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return _cdx_rows_from(spark, d, rec_sql)
 
 
 @_q("warc_cdx_x", _CDX_ORACLE)
@@ -443,3 +450,29 @@ def warc_cdx_surt_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(surt_prefix_filter(F.col("url_key"), _SURT_PROBE_DOMAIN))
         .select("url_key", "url", "rec_offset", "rec_length", "payload_md5")
     )
+
+
+@_q("warc_cdx_incremental_x", _CDX_ORACLE)
+def warc_cdx_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CDX maintenance, driver-proven equal to a full
+    rebuild: index rows are per-FILE seek coordinates, so a re-crawled
+    segment replaces exactly its file's rows (sources/warc.py
+    merge_cdx_delta — left-anti on the file key + union, offsets
+    untouched). The initial build deliberately indexes STALE streams for
+    every third member file (wrong text → wrong lengths → wrong offsets,
+    exercising the replace path, not just append); the delta re-indexes
+    those files from true bytes; the merged index hash-matches the same
+    full-build oracle as warc_cdx_x."""
+    from darkbo_spark.sources.warc import merge_cdx_delta
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    stale_bucket = (F.col("doc_id") % 8) % 3 == 0
+    stale_docs = d.withColumn(
+        "text",
+        F.when(stale_bucket, F.lit("stale earlier fetch")).otherwise(
+            F.col("text")
+        ),
+    )
+    idx0 = _cdx_rows_from(spark, stale_docs)
+    delta = _cdx_rows_from(spark, d.filter(stale_bucket))
+    return merge_cdx_delta(idx0, delta, key="bucket")

@@ -383,3 +383,18 @@ def pages_from_warc(records: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("lang"),
         )
     )
+
+
+def merge_cdx_delta(
+    index: DataFrame, delta: DataFrame, key: str = "file"
+) -> DataFrame:
+    """Incremental CDX maintenance: crawl dumps grow by whole member
+    FILES (and a re-fetched segment replaces a file wholesale), and every
+    index row derives from exactly one file — so a delta merge is a
+    file-keyed replace+append with NO global recompute: drop the index
+    rows whose file appears in the delta (one left-anti join on the file
+    key; the delta is a segment's worth of files, so its key set
+    broadcasts) and union the delta rows in. Offsets never need
+    adjustment because they are per-file coordinates."""
+    files = delta.select(key).distinct()
+    return index.join(F.broadcast(files), key, "left_anti").unionByName(delta)

@@ -154,6 +154,13 @@ CHECKS = {
         "PartitionFilters: [url_bucket", "BroadcastHashJoin",
         "!CartesianProduct", "!SortMergeJoin",
     ],
+    # --- incremental CDX merge: file-keyed replace is one BROADCAST
+    # left-anti + union over per-file Arrow index passes — no global
+    # recompute, no product
+    "warc_cdx_incremental_x": [
+        "BroadcastHashJoin", "LeftAnti", "Union",
+        "!CartesianProduct", "!SortMergeJoin",
+    ],
     # --- SURT domain-prefix lookup: the probe domain's bucket prunes at
     # the stored scan (one partition of the index), the prefix match is a
     # codegen StartsWith filter — no join at all, no product, no rescan

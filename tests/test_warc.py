@@ -339,3 +339,41 @@ def test_gz_walk_is_chunked_and_offsets_roundtrip(tmp_path):
     got = [fetch_warc_record(data, off, ln) for off, ln, _ in members]
     assert [r["url"] for r in got] == ["https://c.test/big", "https://c.test/small"]
     assert got[0]["payload"] == big
+
+
+def test_merge_cdx_delta_replaces_by_file(spark):
+    """A delta's files replace their index rows wholesale; untouched
+    files pass through; brand-new files append. Offsets never shift
+    because they are per-file coordinates."""
+    import pandas as pd
+
+    from darkbo_spark.sources.warc import merge_cdx_delta
+
+    idx = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file": ["f1", "f1", "f2", "f3"],
+                "url": ["a", "b", "c", "d"],
+                "rec_offset": [0, 100, 0, 0],
+            }
+        )
+    )
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file": ["f2", "f4"],       # f2 re-crawled, f4 new
+                "url": ["c2", "e"],
+                "rec_offset": [0, 0],
+            }
+        )
+    )
+    got = {
+        (r.file, r.url, r.rec_offset)
+        for r in merge_cdx_delta(idx, delta).collect()
+    }
+    assert got == {
+        ("f1", "a", 0), ("f1", "b", 100),   # untouched
+        ("f2", "c2", 0),                     # replaced (old c gone)
+        ("f3", "d", 0),
+        ("f4", "e", 0),                      # appended
+    }
