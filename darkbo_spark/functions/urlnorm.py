@@ -182,3 +182,43 @@ def sql_canonical_url(url: str) -> str:
         f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || {path} || "
         f"(CASE WHEN {query} <> '' THEN '?' || {sorted_q} ELSE '' END))"
     )
+
+
+def surt_key_py(url: str) -> str:
+    """Pure-Python twin of surt_key — a serving layer needs it driver-side
+    to turn probe URLs into index keys without a Spark job. Mirrors the
+    column expression rule for rule over the SAME regexes (pytest pins
+    byte-equality across a url product grid); like regexp_extract, a
+    non-matching extract contributes the empty string."""
+    import re as _re
+
+    m = _re.match(_SCHEME_RE, url)
+    scheme = m.group(1).lower() if m else ""
+    m = _re.match(_AFTER_SCHEME_RE, url)
+    rest = m.group(1) if m else ""
+    m = _re.match(_HOSTPORT_RE, rest)
+    hostport = (m.group(1) if m else "").lower()
+    m = _re.match(_HOST_RE, hostport)
+    host = m.group(1) if m else ""
+    m = _re.search(_PORT_RE, hostport)
+    port = m.group(1) if m else ""
+    keep_port = (
+        port != ""
+        and not (scheme == "http" and port == "80")
+        and not (scheme == "https" and port == "443")
+    )
+    m = _re.match(_PATH_RE, rest)
+    path = (m.group(1) or "") if m else ""
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    m = _re.search(_QUERY_RE, rest)
+    query = m.group(1) if m else ""
+    sorted_q = "&".join(sorted(query.split("&"))) if query else ""
+    rev_host = ",".join(reversed(host.split(".")))
+    return (
+        rev_host
+        + (f":{port}" if keep_port else "")
+        + ")"
+        + path
+        + (f"?{sorted_q}" if query != "" else "")
+    )

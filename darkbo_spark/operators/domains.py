@@ -338,3 +338,42 @@ def with_registered_domain(
     reg = F.array_join(F.slice(labels, n - ps, ps + F.lit(1)), ".")
     out = F.when(n <= ps, F.col("_rd_host")).otherwise(reg)
     return df.withColumn(out_col, out).drop(*drop_cols)
+
+
+def public_suffix_len_py(host: str, rules: SuffixRules | None = None) -> int:
+    """Pure-Python twin of public_suffix_len (serving layers turn probe
+    hosts into partition buckets driver-side — no Spark job). Identical
+    rule application: longest match via max over exact/wildcard
+    candidates, exceptions override ascending (largest matching k last),
+    default rule floors at 1. Pytest pins equality to the column
+    expression over the exotic-suffix grid."""
+    rules = rules or load_rules()
+    labels = host.split(".")
+    n = len(labels)
+
+    def lastk(k: int) -> str:
+        return ".".join(labels[n - k :])
+
+    ps = 1
+    for k in sorted(rules.exact):
+        if n >= k and lastk(k) in rules.exact[k]:
+            ps = max(ps, k)
+    for k in sorted(rules.wildcard):
+        if n >= k + 1 and lastk(k) in rules.wildcard[k]:
+            ps = max(ps, k + 1)
+    for k in sorted(rules.exception):
+        if n >= k and lastk(k) in rules.exception[k]:
+            ps = k - 1
+    return ps
+
+
+def registered_domain_py(host: str, rules: SuffixRules | None = None) -> str:
+    """Pure-Python twin of registered_domain: public suffix + one label;
+    a host that IS a public suffix (or empty) passes through."""
+    rules = rules or load_rules()
+    labels = host.split(".")
+    n = len(labels)
+    ps = public_suffix_len_py(host, rules)
+    if n <= ps:
+        return host
+    return ".".join(labels[n - (ps + 1) :])

@@ -476,3 +476,93 @@ def warc_cdx_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx0 = _cdx_rows_from(spark, stale_docs)
     delta = _cdx_rows_from(spark, d.filter(stale_bucket))
     return merge_cdx_delta(idx0, delta, key="bucket")
+
+
+# ---------------------------------------------------------------------------
+# url-prefix matchType (pywb's `matchType=prefix`): all captures whose
+# SURT key starts with the SURT of a probe url-prefix — "everything under
+# https://sub1.site3.com/p/2". The probe key is built DRIVER-SIDE by the
+# pure-Python twins (functions/urlnorm.surt_key_py +
+# operators/domains.registered_domain_py for the partition bucket), the
+# way a serving layer would — no Spark job to form the probe; the scan
+# stays one pruned partition + a pushed StringStartsWith.
+# ---------------------------------------------------------------------------
+
+_SURT_URL_PREFIX_PROBE = "https://sub1.site3.com/p/2"
+
+
+def _surt_url_prefix_oracle() -> str:
+    from darkbo_spark.functions.urlnorm import surt_key_py
+
+    key_prefix = surt_key_py(_SURT_URL_PREFIX_PROBE)
+    return f"""
+WITH r AS (
+  SELECT doc_id, doc_id % 8 AS bucket, {_warc_rec_sql(_SURT_URI_SQL)} AS rec,
+         text, {_SURT_URI_SQL} AS uri
+  FROM documents WHERE doc_id < 400
+),
+c AS (
+  SELECT uri AS url,
+         CAST(COALESCE(SUM(strlen(rec) + 4) OVER (
+              PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS rec_offset,
+         CAST(strlen(rec) AS BIGINT) AS rec_length,
+         md5(text) AS payload_md5
+  FROM r
+),
+k AS (
+  SELECT {sql_surt_key('url')} AS url_key, url, rec_offset, rec_length,
+         payload_md5
+  FROM c
+)
+SELECT url_key, url, rec_offset, rec_length, payload_md5
+FROM k WHERE url_key LIKE '{key_prefix}%'
+"""
+
+
+@_q("warc_cdx_url_prefix_lookup_x", _surt_url_prefix_oracle())
+def warc_cdx_url_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pywb matchType=prefix against the SURT-keyed stored index: probe
+    key and partition bucket computed by the driver-side Python twins
+    (pytest-pinned byte-equal to the column expressions); one pruned
+    partition, StringStartsWith pushed to the scan. Hosts with explicit
+    ports correctly DON'T match the port-less probe (the SURT puts the
+    port before ')')."""
+    from darkbo_spark.functions.urlnorm import surt_key, surt_key_py
+    from darkbo_spark.operators.dedup import portable_hash60
+    from darkbo_spark.operators.domains import (
+        host_of,
+        registered_domain,
+        registered_domain_py,
+    )
+    from darkbo_spark.queries.common import _stored_table
+
+    # same published table as warc_cdx_surt_lookup_x (one index, every
+    # matchType served from it)
+    table = _stored_table(
+        sf_dir,
+        "warc_cdx_surt",
+        "documents",
+        lambda: _cdx_rows(spark, sf_dir, rec_sql=_warc_rec_sql(_SURT_URI_SQL))
+        .withColumn("url_key", surt_key(F.col("url")))
+        .withColumn(
+            "domain_bucket",
+            F.pmod(
+                portable_hash60(registered_domain(host_of(F.col("url")))),
+                F.lit(_SURT_DOMAIN_BUCKETS),
+            ).cast("int"),
+        )
+        .repartition("domain_bucket"),
+        partition_by=["domain_bucket"],
+        tag=f"surt_dom{_SURT_DOMAIN_BUCKETS}_v1",
+    )
+    key_prefix = surt_key_py(_SURT_URL_PREFIX_PROBE)
+    probe_host = _SURT_URL_PREFIX_PROBE.split("://", 1)[1].split("/", 1)[0]
+    probe_domain = registered_domain_py(probe_host.lower())
+    return (
+        table.read(spark)
+        .filter(F.col("domain_bucket") == _domain_bucket_py(probe_domain))
+        .filter(F.col("url_key").startswith(key_prefix))
+        .select("url_key", "url", "rec_offset", "rec_length", "payload_md5")
+    )

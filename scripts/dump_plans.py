@@ -169,6 +169,12 @@ CHECKS = {
         "PartitionFilters: [", "domain_bucket",
         "!CartesianProduct", "!SortMergeJoin",
     ],
+    # --- url-prefix matchType: probe key built driver-side (python
+    # twins), one pruned partition + pushed StartsWith — no join at all
+    "warc_cdx_url_prefix_lookup_x": [
+        "PartitionFilters: [", "StringStartsWith",
+        "!CartesianProduct", "!SortMergeJoin",
+    ],
     # --- grouped boolean search: clause matches are broadcast postings
     # joins unioned, ranking a top-k — grouping adds parse-time DNF
     # clauses, never a plan product

@@ -187,3 +187,33 @@ def test_join_impl_equals_expr_impl(spark):
         ).collect()
     }
     assert c == a
+
+
+def test_registered_domain_py_equals_column_expr(spark):
+    """The driver-side Python twin (probe bucketing for stored-index
+    serving) equals the column expression across exact/wildcard/
+    exception/default branches."""
+    import pandas as pd
+
+    from darkbo_spark.operators.domains import (
+        load_rules,
+        registered_domain,
+        registered_domain_py,
+    )
+
+    hosts = [
+        "www.example.co.uk", "example.co.uk", "co.uk",
+        "a.b.sch.uk", "b.sch.uk", "sch.uk",
+        "www.foo.com", "foo.com", "com", "", "single",
+        "x.y.z.com.au", "deep.sub.kobe.jp", "www.metro.tokyo.jp",
+        "city.kawasaki.jp", "x.city.kawasaki.jp", "sub1.site3.com",
+    ]
+    rules = load_rules()
+    df = spark.createDataFrame(pd.DataFrame({"host": hosts}))
+    col_form = {
+        r.host: r.domain
+        for r in df.withColumn(
+            "domain", registered_domain(F.col("host"), rules)
+        ).collect()
+    }
+    assert col_form == {h: registered_domain_py(h, rules) for h in hosts}

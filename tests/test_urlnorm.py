@@ -232,3 +232,31 @@ def test_surt_sql_twin_parity(spark):
         f"{sql_surt_prefix_filter(sql_surt_key('url'), 'example0.com')} AS m FROM u"
     ).fetchall()
     assert got_spark == [(k, bool(m)) for k, m in got_duck]
+
+
+def test_surt_key_py_equals_column_expr(spark):
+    """The driver-side Python twin (probe-key construction for serving)
+    is byte-equal to the column expression over a url product grid —
+    schemes, ports, paths, queries, fragments, casing."""
+    import itertools
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from darkbo_spark.functions.urlnorm import surt_key, surt_key_py
+
+    urls = [
+        f"{scheme}://{host}{port}{path}{q}{frag}"
+        for scheme, host, port, path, q, frag in itertools.product(
+            ["http", "HTTPS"],
+            ["WWW.Example.COM", "sub.a.b.org", "single"],
+            ["", ":80", ":443", ":9090"],
+            ["", "/", "/A/b/", "/x?notaquery"],
+            ["", "?z=1&a=2"],
+            ["", "#Frag"],
+        )
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    got_col = [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+    got_py = [surt_key_py(u) for u in urls]
+    assert got_col == got_py
