@@ -126,6 +126,7 @@ HEADLINE = [
     "kg_dict_growth_x",
     "kg_nil_candidates_both_x",
     "warc_cdx_incremental_x",
+    "warc_fetch_dedup_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -566,3 +566,68 @@ def warc_cdx_url_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("url_key").startswith(key_prefix))
         .select("url_key", "url", "rec_offset", "rec_length", "payload_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fetch dedup by canonical url (sources/warc.dedup_fetches): three raw
+# variants per page — mixed-case host + default port + fragment +
+# unsorted query / plain / trailing slash — must collapse to ONE row per
+# canonical page with the latest fetch winning and ties breaking to the
+# max raw url. The whole canonicalization rule chain sits under the
+# driver hash via sql_canonical_url.
+# ---------------------------------------------------------------------------
+
+from darkbo_spark.functions.urlnorm import sql_canonical_url  # noqa: E402
+
+_FETCH_URL_SQL = (
+    "(CASE CAST(doc_id % 3 AS INT)"
+    " WHEN 0 THEN 'https://Site' || CAST(doc_id - doc_id % 3 AS STRING)"
+    " || '.com:443/p/' || CAST(doc_id - doc_id % 3 AS STRING) || '?b=2&a=1#x'"
+    " WHEN 1 THEN 'https://site' || CAST(doc_id - doc_id % 3 AS STRING)"
+    " || '.com/p/' || CAST(doc_id - doc_id % 3 AS STRING) || '?a=1&b=2'"
+    " ELSE 'https://site' || CAST(doc_id - doc_id % 3 AS STRING)"
+    " || '.com/p/' || CAST(doc_id - doc_id % 3 AS STRING) || '/?b=2&a=1'"
+    " END)"
+)
+
+_FETCH_DEDUP_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, {_FETCH_URL_SQL} AS url,
+         DATE '2024-01-01' + CAST(doc_id % 5 AS INTEGER) AS warc_ts
+  FROM documents WHERE doc_id < 400
+),
+c AS (SELECT doc_id, url, warc_ts, {sql_canonical_url('url')} AS canon_url FROM p),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_url
+                               ORDER BY warc_ts DESC, url DESC) AS rk
+  FROM c
+)
+SELECT doc_id, url, canon_url, strftime(warc_ts, '%Y-%m-%d') AS fetch_date
+FROM r WHERE rk = 1
+ORDER BY canon_url
+"""
+
+
+@_q("warc_fetch_dedup_x", _FETCH_DEDUP_ORACLE)
+def warc_fetch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url fetch dedup under the driver hash: 400 fetches in
+    groups of three raw variants collapse to one latest-wins row per
+    canonical page; lowercasing, default-port drop, fragment drop,
+    trailing-slash strip, and query sort are all load-bearing for the
+    group to even form."""
+    from darkbo_spark.sources.warc import dedup_fetches
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pages = d.select(
+        "doc_id",
+        F.expr(_FETCH_URL_SQL).alias("url"),
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")), (F.col("doc_id") % 5).cast("int")
+        ).alias("warc_ts"),
+    )
+    return dedup_fetches(pages).select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("fetch_date"),
+    )

@@ -154,6 +154,12 @@ CHECKS = {
         "PartitionFilters: [url_bucket", "BroadcastHashJoin",
         "!CartesianProduct", "!SortMergeJoin",
     ],
+    # --- fetch dedup: ONE window on the near-unique canonical-url key
+    # (hash-partitioned, no global funnel) over pure-codegen
+    # canonicalization — never a self-join or product
+    "warc_fetch_dedup_x": [
+        "Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
+    ],
     # --- incremental CDX merge: file-keyed replace is one BROADCAST
     # left-anti + union over per-file Arrow index passes — no global
     # recompute, no product

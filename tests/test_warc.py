@@ -377,3 +377,39 @@ def test_merge_cdx_delta_replaces_by_file(spark):
         ("f3", "d", 0),
         ("f4", "e", 0),                      # appended
     }
+
+
+def test_dedup_fetches_latest_wins_across_variants(spark, tmp_path):
+    """The full ingestion composition: write a .warc.gz with three raw
+    variants of ONE page fetched on different days (mixed-case host +
+    default port + fragment, unsorted query, trailing slash) plus an
+    unrelated page → read_warc → pages_from_warc → dedup_fetches keeps
+    the LATEST fetch of the canonical page and the unrelated page."""
+    from darkbo_spark.sources.warc import (
+        dedup_fetches,
+        pages_from_warc,
+        read_warc,
+        write_warc_gz,
+    )
+
+    recs = [
+        dict(_rec("HTTPS://Host.com:443/a/?b=2&a=1#x", b"v-old"),
+             warc_date="2024-01-01T00:00:00Z"),
+        dict(_rec("https://host.com/a?a=1&b=2", b"v-new"),
+             warc_date="2024-01-03T00:00:00Z"),
+        dict(_rec("https://host.com/a/?b=2&a=1", b"v-mid"),
+             warc_date="2024-01-02T00:00:00Z"),
+        dict(_rec("https://other.com/b", b"other"),
+             warc_date="2024-01-01T00:00:00Z"),
+    ]
+    p = str(tmp_path / "fetches.warc.gz")
+    write_warc_gz(recs, p)
+    pages = pages_from_warc(read_warc(spark, p))
+    got = {
+        r.canon_url: bytes(r.html)
+        for r in dedup_fetches(pages).collect()
+    }
+    assert got == {
+        "https://host.com/a?a=1&b=2": b"v-new",
+        "https://other.com/b": b"other",
+    }
