@@ -23,6 +23,13 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--link", default="broadcast", choices=["broadcast", "salted"])
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--facts-asof", default=None,
+                    help="YYYY-MM-DD: add the temporal fusion stages")
+    ap.add_argument("--fusion-mode", default="auto",
+                    choices=["auto", "driver", "distributed"],
+                    help="fusion-table write shape (see kg/pipeline.py)")
+    ap.add_argument("--mine-nil", action="store_true",
+                    help="publish the kg_nil_candidates dictionary-growth stage")
     args = ap.parse_args()
 
     from darkbo_spark.session import get_spark
@@ -52,6 +59,9 @@ def main() -> int:
         seed=args.seed,
         link_strategy=args.link,
         n_buckets=args.buckets,
+        facts_asof=args.facts_asof,
+        fusion_mode=args.fusion_mode,
+        mine_nil=args.mine_nil,
     )
     wall = time.time() - t0
     print(
