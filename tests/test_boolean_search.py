@@ -216,3 +216,51 @@ def test_grouped_search_matches_hand_computed(spark):
         ).collect()
     }
     assert got == {1, 2}
+
+
+def test_parse_boolean_query_total_on_arbitrary_input():
+    """The grouped parser is TOTAL: any string (unbalanced parens, stray
+    operators, unicode, quotes) parses without raising, and every emitted
+    clause is non-vacuous (has a positive factor or a negation). Grouping
+    identities hold: redundant parens are no-ops."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from darkbo_spark.operators.queryparse import parse_boolean_query
+
+    tokens = st.sampled_from(
+        ["alpha", "beta", "NOT", "AND", "OR", "(", ")", '"a b"', '"', "x:y",
+         "the", "a", "π", "don't"]
+    )
+
+    @given(st.lists(tokens, max_size=12).map(" ".join))
+    @settings(max_examples=300, deadline=None)
+    def run(q):
+        bq = parse_boolean_query(q, fields=("x",))
+        for c in bq.clauses:
+            assert c.has_positive() or c.not_terms or c.not_phrases
+
+    run()
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def run_text(q):
+        parse_boolean_query(q)  # never raises
+
+    run_text()
+
+    def shape(bq):
+        return [
+            (c.terms, c.phrases, c.not_terms, c.not_phrases, c.fielded)
+            for c in bq.clauses
+        ]
+
+    for plain, grouped in [
+        ("alpha", "(alpha)"),
+        ("alpha beta", "((alpha beta))"),
+        ("alpha OR beta", "(alpha OR beta)"),
+        ("alpha NOT beta", "(alpha NOT beta)"),
+    ]:
+        assert shape(parse_boolean_query(plain)) == shape(
+            parse_boolean_query(grouped)
+        ), (plain, grouped)
