@@ -65,18 +65,21 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # Round-7 window (the corpus outgrew strict ≤2 staleness: 118 oracled
 # queries over 50 slots needs ⌈118/50⌉ = 3 windows for full coverage, so
 # the invariant is now max staleness ≤ 3 with the OLDEST tier always
-# leading): 3 never-sampled (this round's new oracled queries: SURT
-# domain-prefix CDX lookup, grouped boolean parse, dictionary-growth
-# round trip) + ALL 22 r4-stale entries (staleness 3 — exactly the set
-# the r6 window note promised would lead) + 3 refreshes of r6-green
-# entries whose code round 7 changed (kg_facts_asof_x: functional-slot
-# resolution semantics + new envelope columns; domain_stats_x /
-# domain_caps_x: the expr→join registered-domain switch) + 22 of the 43
-# r5-stale entries, touched/flagged first (training_pipeline_x rides the
-# domains switch; parsed_search_boolean_x / parsed_search_fielded_x /
-# parsed_search_topk ride the grouped-parser rewrite; host_components_x
-# / host_pagerank_x were r6 perf flags). The 21 r5-stale entries left
-# out (bpe_real_token_counts_x, kg_entity_pagerank_x, kg_incremental_x,
+# leading): 7 never-sampled (this round's new oracled queries: SURT
+# domain-prefix + url-prefix CDX lookups, grouped boolean parse,
+# dictionary-growth round trip, both-position NIL mining, incremental
+# CDX merge, canonical-url fetch dedup) + ALL 22 r4-stale entries
+# (staleness 3 — exactly the set the r6 window note promised would
+# lead) + 3 refreshes of r6-green entries whose code round 7 changed
+# (kg_facts_asof_x: functional-slot resolution semantics + new envelope
+# columns; domain_stats_x / domain_caps_x: the expr→join
+# registered-domain switch) + 18 of the 43 r5-stale entries,
+# touched/flagged first (training_pipeline_x rides the domains switch;
+# parsed_search_boolean_x / parsed_search_fielded_x / parsed_search_topk
+# ride the grouped-parser rewrite; host_components_x / host_pagerank_x
+# were r6 perf flags). The 25 r5-stale entries left out
+# (bpe_real_token_counts_x, host_linkgraph_x, html_extract_parity,
+# image_phash_x, json_props_agg, kg_entity_pagerank_x, kg_incremental_x,
 # lang_id, line_dedup_counts_x, line_dedup_trim_x, quality_classifier_x,
 # quality_percentile_filter_x, quality_scores, rolling_fingerprints_x,
 # route_queries, running_totals, sessionize_events, simhash_docs_x,
@@ -90,6 +93,10 @@ _DRIVER_WINDOW = [
     "warc_cdx_surt_lookup_x",
     "parsed_search_grouped_x",
     "kg_dict_growth_x",
+    "kg_nil_candidates_both_x",
+    "warc_cdx_incremental_x",
+    "warc_cdx_url_prefix_lookup_x",
+    "warc_fetch_dedup_x",
     # -- tier 2: last green driver row is r4 (staleness 3) --
     "asof_events_orders",
     "chunk_documents_x",
@@ -137,10 +144,6 @@ _DRIVER_WINDOW = [
     "dedup_first_wins",
     "doc_fingerprints",
     "exact_dedup_docs",
-    "host_linkgraph_x",
-    "html_extract_parity",
-    "image_phash_x",
-    "json_props_agg",
 ]
 
 
