@@ -209,8 +209,10 @@ def main() -> int:
 
     # boolean/fielded stored flavors serve from the SAME published
     # bm25_postings table the loop above just built cold — their build
-    # cost IS parsed_search_stored_build, so only warm serves are timed
-    for name in ("parsed_search_boolean_stored", "parsed_search_fielded_stored"):
+    # cost IS parsed_search_stored_build, so only warm serves are timed;
+    # likewise the url-prefix matchType serves the published SURT index
+    for name in ("parsed_search_boolean_stored", "parsed_search_fielded_stored",
+                 "warc_cdx_url_prefix_lookup_x"):
         fn = qs[name]
         serves = []
         for _ in range(3):
