@@ -127,6 +127,7 @@ HEADLINE = [
     "kg_nil_candidates_both_x",
     "warc_cdx_incremental_x",
     "warc_fetch_dedup_x",
+    "kg_fact_changes_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -66,7 +66,7 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # queries over 50 slots needs ⌈118/50⌉ = 3 windows for full coverage, so
 # the invariant is now max staleness ≤ 3 with the OLDEST tier always
 # leading): 7 never-sampled (this round's new oracled queries: SURT
-# domain-prefix + url-prefix CDX lookups, grouped boolean parse,
+# domain-prefix + url-prefix CDX lookups, crawl-cycle fact diff, grouped boolean parse,
 # dictionary-growth round trip, both-position NIL mining, incremental
 # CDX merge, canonical-url fetch dedup) + ALL 22 r4-stale entries
 # (staleness 3 — exactly the set the r6 window note promised would
@@ -78,7 +78,7 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # parsed_search_boolean_x / parsed_search_fielded_x / parsed_search_topk
 # ride the grouped-parser rewrite; host_components_x / host_pagerank_x
 # were r6 perf flags). The 25 r5-stale entries left out
-# (bpe_real_token_counts_x, host_linkgraph_x, html_extract_parity,
+# (bpe_real_token_counts_x, exact_dedup_docs, host_linkgraph_x, html_extract_parity,
 # image_phash_x, json_props_agg, kg_entity_pagerank_x, kg_incremental_x,
 # lang_id, line_dedup_counts_x, line_dedup_trim_x, quality_classifier_x,
 # quality_percentile_filter_x, quality_scores, rolling_fingerprints_x,
@@ -97,6 +97,7 @@ _DRIVER_WINDOW = [
     "warc_cdx_incremental_x",
     "warc_cdx_url_prefix_lookup_x",
     "warc_fetch_dedup_x",
+    "kg_fact_changes_x",
     # -- tier 2: last green driver row is r4 (staleness 3) --
     "asof_events_orders",
     "chunk_documents_x",
@@ -143,7 +144,6 @@ _DRIVER_WINDOW = [
     "customers_without_recent_orders",
     "dedup_first_wins",
     "doc_fingerprints",
-    "exact_dedup_docs",
 ]
 
 

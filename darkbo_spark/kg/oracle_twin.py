@@ -871,3 +871,48 @@ GROUP BY surface_norm
 HAVING COUNT(*) >= {min_mentions}
 ORDER BY surface_norm
 """
+
+
+def fact_changes_oracle_sql(
+    id_limit: int = 240,
+    as_of_old: str = "2024-01-03",
+    as_of_new: str = "2024-01-06",
+) -> str:
+    """fact_changes replay — deliberately the COMPOSITIONAL formulation
+    (two independent fact states diffed by anti-semijoins) while the
+    Spark side runs the one-pass conditional-envelope form: two different
+    derivations of the crawl-cycle diff under one hash."""
+    preds = ", ".join(
+        f"'{p}'" for p in ("founded_in", "founded_by", "based_in", "is_a")
+    )
+
+    def state(as_of: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT subj_eid, pred, obj FROM (
+    SELECT subj_eid, pred, obj,
+           ROW_NUMBER() OVER (PARTITION BY subj_eid, pred
+                              ORDER BY max_ts DESC, obj DESC) AS rk
+    FROM (
+      SELECT subj_eid, pred, obj, MAX(ts) AS max_ts
+      FROM lt WHERE ts <= DATE '{as_of}'
+      GROUP BY subj_eid, pred, obj
+    )
+  ) WHERE pred NOT IN ({preds}) OR rk = 1
+)"""
+
+    return f"""{_linked_ts_cte(id_limit)},
+{state(as_of_old, "s_old")},
+{state(as_of_new, "s_new")}
+SELECT n.subj_eid, n.pred, n.obj, 'added' AS change
+FROM s_new n
+WHERE NOT EXISTS (SELECT 1 FROM s_old o
+                  WHERE o.subj_eid = n.subj_eid AND o.pred = n.pred
+                    AND o.obj = n.obj)
+UNION ALL
+SELECT o.subj_eid, o.pred, o.obj, 'removed' AS change
+FROM s_old o
+WHERE NOT EXISTS (SELECT 1 FROM s_new n
+                  WHERE n.subj_eid = o.subj_eid AND n.pred = o.pred
+                    AND n.obj = o.obj)
+ORDER BY subj_eid, pred, obj, change
+"""

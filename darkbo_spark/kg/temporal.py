@@ -292,3 +292,67 @@ def detect_conflicts(
         )
         .filter(F.col("n_values") > 1)
     )
+
+
+def fact_changes(
+    linked: DataFrame,
+    as_of_old: str,
+    as_of_new: str,
+    ts_col: str = "warc_ts",
+    functional_preds: tuple[str, ...] = FUNCTIONAL_PREDS,
+) -> DataFrame:
+    """What changed between two as-of fact states — the crawl-cadence
+    diff ("what did this week's crawl change?"): rows (subj_eid, pred,
+    obj, change) where change='added' (published at `as_of_new` but not
+    at `as_of_old`) or 'removed' (the reverse; a functional slot's value
+    swap appears as one added + one removed row).
+
+    ONE pass over the mention stream instead of two resolve_facts
+    invocations: a single envelope aggregate on the fact key computes
+    each value's max assertion timestamp at BOTH cutoffs (the old one as
+    a conditional max), then two windows over the COLLAPSED fact table
+    rank the functional winners per state. Output is pytest-pinned equal
+    to the compositional diff of two resolve_facts states, and the
+    driver oracle replays the compositional form — two independent
+    formulations under one hash. Day-inclusive cutoffs like
+    resolve_facts."""
+    d = F.to_date(F.col(ts_col))
+    env = (
+        linked.filter(F.col("subj_eid").isNotNull())
+        .filter(d <= F.lit(as_of_new).cast("date"))
+        .groupBy("subj_eid", "pred", "obj")
+        .agg(
+            F.max(ts_col).alias("_ts_new"),
+            F.max(
+                F.when(d <= F.lit(as_of_old).cast("date"), F.col(ts_col))
+            ).alias("_ts_old"),
+        )
+    )
+    if functional_preds:
+        w_new = Window.partitionBy("subj_eid", "pred").orderBy(
+            F.col("_ts_new").desc(), F.col("obj").desc()
+        )
+        w_old = Window.partitionBy("subj_eid", "pred").orderBy(
+            F.col("_ts_old").desc_nulls_last(), F.col("obj").desc()
+        )
+        env = env.withColumn("_rk_new", F.row_number().over(w_new)).withColumn(
+            "_rk_old", F.row_number().over(w_old)
+        )
+        is_func = F.col("pred").isin(*functional_preds)
+        in_new = (~is_func) | (F.col("_rk_new") == 1)
+        in_old = F.col("_ts_old").isNotNull() & (
+            (~is_func) | (F.col("_rk_old") == 1)
+        )
+    else:
+        in_new = F.lit(True)
+        in_old = F.col("_ts_old").isNotNull()
+    return (
+        env.withColumn(
+            "change",
+            F.when(in_new & ~in_old, F.lit("added")).when(
+                in_old & ~in_new, F.lit("removed")
+            ),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("subj_eid", "pred", "obj", "change")
+    )

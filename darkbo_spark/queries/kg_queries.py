@@ -600,3 +600,21 @@ def kg_nil_candidates_both(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_mentions=2,
         side="both",
     )
+
+
+from darkbo_spark.kg.oracle_twin import fact_changes_oracle_sql  # noqa: E402
+
+
+@_q("kg_fact_changes_x", fact_changes_oracle_sql(240, "2024-01-03", "2024-01-06"))
+def kg_fact_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-cycle diff of the published fact state ('what did this
+    week's crawl change?'): added/removed rows between the 2024-01-03
+    and 2024-01-06 as-of states — a functional slot's value swap shows
+    as one added + one removed. The Spark side computes it in ONE pass
+    (conditional envelope + two windows over the collapsed fact table);
+    the oracle independently diffs two full states."""
+    from darkbo_spark.kg.temporal import fact_changes
+
+    return fact_changes(
+        _dated_linked_twin(spark, sf_dir), "2024-01-03", "2024-01-06"
+    )

@@ -247,6 +247,12 @@ CHECKS = {
         "Union", "SortAggregate", "hashpartitioning",
         "!SinglePartition", "!CartesianProduct",
     ],
+    # --- crawl-cycle fact diff: one conditional-envelope aggregate +
+    # two windows on the collapsed fact table — never two passes over
+    # mentions, no funnel, no product
+    "kg_fact_changes_x": [
+        "Window", "hashpartitioning", "!SinglePartition", "!CartesianProduct",
+    ],
     # --- entity profile capstone: aggregates + modal-type window + the
     # final entity-key joins — everything keys on eid, no funnel/product
     "kg_entity_profiles_x": [

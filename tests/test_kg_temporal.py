@@ -366,3 +366,55 @@ def test_nil_candidates_obj_side_excludes_literal_slots(spark):
         for r in nil_candidates(linked, min_mentions=2, side="both").collect()
     }
     assert got_both == {"zeta corp": 2, "mixed co": 2}
+
+
+def test_fact_changes_one_pass_equals_compositional(spark):
+    """fact_changes (one conditional-envelope pass) equals the diff of
+    two resolve_facts states — functional swaps as added+removed pairs,
+    multi-valued accretion as pure adds, repartition-invariant."""
+    from darkbo_spark.kg.temporal import fact_changes
+
+    linked = _linked(
+        spark,
+        [
+            # functional swap between cutoffs: Berlin -> Madrid
+            ("u/1", 0, "based_in", "Berlin", "e1", "2024-01-02"),
+            ("u/2", 0, "based_in", "Madrid", "e1", "2024-01-05"),
+            # multi-valued accretion: Zeta added after the old cutoff
+            ("u/3", 0, "acquired", "Acme", "e1", "2024-01-01"),
+            ("u/4", 0, "acquired", "Zeta", "e1", "2024-01-06"),
+            # unchanged slot -> no rows
+            ("u/5", 0, "founded_in", "1990", "e1", "2024-01-01"),
+            # post-new-cutoff mention invisible to both states
+            ("u/6", 0, "acquired", "Omega", "e1", "2024-01-09"),
+        ],
+    )
+    got = {
+        tuple(r)
+        for r in fact_changes(linked, "2024-01-03", "2024-01-07").collect()
+    }
+    assert got == {
+        ("e1", "based_in", "Madrid", "added"),
+        ("e1", "based_in", "Berlin", "removed"),
+        ("e1", "acquired", "Zeta", "added"),
+    }
+    got2 = {
+        tuple(r)
+        for r in fact_changes(
+            linked.repartition(7), "2024-01-03", "2024-01-07"
+        ).collect()
+    }
+    assert got2 == got
+
+    from darkbo_spark.kg.temporal import resolve_facts
+
+    old = resolve_facts(linked, "2024-01-03").select("subj_eid", "pred", "obj")
+    new = resolve_facts(linked, "2024-01-07").select("subj_eid", "pred", "obj")
+    comp = {
+        tuple(r) + ("added",)
+        for r in new.join(old, ["subj_eid", "pred", "obj"], "left_anti").collect()
+    } | {
+        tuple(r) + ("removed",)
+        for r in old.join(new, ["subj_eid", "pred", "obj"], "left_anti").collect()
+    }
+    assert got == comp
