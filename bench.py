@@ -213,7 +213,7 @@ def main() -> int:
     # cost IS parsed_search_stored_build, so only warm serves are timed;
     # likewise the url-prefix matchType serves the published SURT index
     for name in ("parsed_search_boolean_stored", "parsed_search_fielded_stored",
-                 "warc_cdx_url_prefix_lookup_x"):
+                 "parsed_search_grouped_stored", "warc_cdx_url_prefix_lookup_x"):
         fn = qs[name]
         serves = []
         for _ in range(3):

@@ -196,3 +196,22 @@ def parsed_search_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return search_boolean(docs, _GROUPED_QUERY, "text", "doc_id", top_k=10)
+
+
+@_q("parsed_search_grouped_stored", _GROUPED_ORACLE)
+def parsed_search_grouped_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped syntax served from the STORED sparse index — the DNF's
+    full postings token set prunes the scan to its hash buckets exactly
+    like the flat boolean/fielded flavors; same oracle as the inline
+    grouped form (store+serve+prune must lose nothing)."""
+    from darkbo_spark.operators.queryparse import (
+        boolean_query_tokens,
+        search_boolean,
+    )
+    from darkbo_spark.queries.retrieval import stored_postings_for_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    stored = stored_postings_for_tokens(spark, sf_dir, boolean_query_tokens(_GQ))
+    return search_boolean(
+        docs, _GROUPED_QUERY, "text", "doc_id", top_k=10, postings=stored
+    )

@@ -74,6 +74,9 @@ CHECKS = {
     "parsed_search_fielded_stored": [
         "BroadcastHashJoin", "TakeOrderedAndProject", "PartitionFilters: [tok_bucket",
     ],
+    "parsed_search_grouped_stored": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "PartitionFilters: [tok_bucket",
+    ],
     # --- incremental sparse index: query-time weights are broadcast-term
     # joins over the raw-stats index; upsert = anti-join + union, never a
     # cross product or a corpus-wide sort-merge of the term sets
