@@ -65,19 +65,21 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # Round-7 window (the corpus outgrew strict ≤2 staleness: 118 oracled
 # queries over 50 slots needs ⌈118/50⌉ = 3 windows for full coverage, so
 # the invariant is now max staleness ≤ 3 with the OLDEST tier always
-# leading): 7 never-sampled (this round's new oracled queries: SURT
-# domain-prefix + url-prefix CDX lookups, crawl-cycle fact diff, grouped boolean parse,
-# dictionary-growth round trip, both-position NIL mining, incremental
-# CDX merge, canonical-url fetch dedup) + ALL 22 r4-stale entries
+# leading): 8 never-sampled (this round's new oracled queries: SURT
+# domain-prefix + url-prefix CDX lookups, crawl-cycle fact diff, grouped
+# boolean parse, dictionary-growth round trip, both-position NIL mining,
+# incremental CDX merge, canonical-url fetch dedup; the 9th new entry,
+# parsed_search_grouped_stored, cedes to the r4 tier and leads round 8)
+# + ALL 22 r4-stale entries
 # (staleness 3 — exactly the set the r6 window note promised would
 # lead) + 3 refreshes of r6-green entries whose code round 7 changed
 # (kg_facts_asof_x: functional-slot resolution semantics + new envelope
 # columns; domain_stats_x / domain_caps_x: the expr→join
-# registered-domain switch) + 18 of the 43 r5-stale entries,
+# registered-domain switch) + 17 of the 43 r5-stale entries,
 # touched/flagged first (training_pipeline_x rides the domains switch;
 # parsed_search_boolean_x / parsed_search_fielded_x / parsed_search_topk
 # ride the grouped-parser rewrite; host_components_x / host_pagerank_x
-# were r6 perf flags). The 25 r5-stale entries left out
+# were r6 perf flags). The 26 r5-stale entries left out
 # (bpe_real_token_counts_x, exact_dedup_docs, host_linkgraph_x, html_extract_parity,
 # image_phash_x, json_props_agg, kg_entity_pagerank_x, kg_incremental_x,
 # lang_id, line_dedup_counts_x, line_dedup_trim_x, quality_classifier_x,
