@@ -467,3 +467,45 @@ def test_stream_kg_upsert_equals_batch_rebuild(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert keys(read_kg_upsert_table(spark, kg).drop("url_bucket")) == keys(want)
+
+
+def test_streaming_fetch_dedup_on_canonical_url_key(spark, tmp_path):
+    """Streaming crawl-ingest dedup on the CANONICAL url key: raw url
+    variants (mixed-case host + default port + fragment vs plain) of the
+    same page arriving within the watermark horizon collapse to one
+    fetch, while a genuinely different page survives — the streaming
+    face of sources/warc.dedup_fetches' canonical key (first-arrival
+    semantics per horizon here; latest-wins across cycles is the batch
+    operator)."""
+    from darkbo_spark.functions.urlnorm import canonical_url
+    from darkbo_spark.streaming.ingest import dedup_stream
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("HTTPS://Host.com:443/a/?b=2&a=1#x", base),
+        ("https://host.com/a?a=1&b=2", base + dt.timedelta(minutes=1)),
+        ("https://other.com/b", base + dt.timedelta(minutes=2)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "ts"])
+    src = str(tmp_path / "fetch_in")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = (
+        spark.readStream.schema("url string, ts timestamp").parquet(src)
+        .withColumn("canon_url", canonical_url(F.col("url")))
+    )
+    q = (
+        dedup_stream(stream, keys=["canon_url"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("fetch_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.canon_url
+        for r in spark.sql("select * from fetch_dedup_out").collect()
+    }
+    assert got == {"https://host.com/a?a=1&b=2", "https://other.com/b"}
+    assert spark.sql("select * from fetch_dedup_out").count() == 2
