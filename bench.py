@@ -195,6 +195,7 @@ def main() -> int:
         ("ann_ivf_stored", "ivf_index"),
         ("warc_cdx_lookup_x", "warc_cdx"),
         ("warc_cdx_surt_lookup_x", "warc_cdx_surt"),
+        ("kg_facts_stored_lookup_x", "kg_facts_state"),
     ):
         fn = qs[name]
         drop_stored_table(stored_name)

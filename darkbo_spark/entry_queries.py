@@ -68,8 +68,9 @@ from darkbo_spark.queries.textops import _bpe_oracle  # noqa: E402,F401
 # leading): 8 never-sampled (this round's new oracled queries: SURT
 # domain-prefix + url-prefix CDX lookups, crawl-cycle fact diff, grouped
 # boolean parse, dictionary-growth round trip, both-position NIL mining,
-# incremental CDX merge, canonical-url fetch dedup; the 9th new entry,
-# parsed_search_grouped_stored, cedes to the r4 tier and leads round 8)
+# incremental CDX merge, canonical-url fetch dedup; the remaining new entries,
+# parsed_search_grouped_stored and kg_facts_stored_lookup_x, cede to
+# the r4 tier and lead round 8)
 # + ALL 22 r4-stale entries
 # (staleness 3 — exactly the set the r6 window note promised would
 # lead) + 3 refreshes of r6-green entries whose code round 7 changed

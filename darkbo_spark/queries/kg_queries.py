@@ -618,3 +618,85 @@ def kg_fact_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_changes(
         _dated_linked_twin(spark, sf_dir), "2024-01-03", "2024-01-06"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored fact-state serving: the fusion layer's read convention as a
+# driver-hashed query. The resolved fact state publishes ONCE partitioned
+# by entity-hash bucket (the kg_facts distributed write shape), and an
+# entity probe set serves from ONLY its buckets — PartitionFilters prune
+# the scan before the entity filter runs, the same "materialize once,
+# serve many" split as the search/CDX indexes. Probe eids and buckets are
+# computed DRIVER-SIDE (sha256 entity ids are dialect-neutral; buckets
+# use the portable md5-60 hash with a python twin), the way a fact-serving
+# API would.
+# ---------------------------------------------------------------------------
+
+_FACTS_BUCKETS = 8
+_FACTS_PROBE_CANONICALS = ("Acme Systems", "Quantum Labs", "Berlin")
+
+
+def _entity_eid_py(canonical: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(f"entity:{canonical}".encode()).hexdigest()[:32]
+
+
+def _facts_bucket_py(eid: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(eid.encode()).hexdigest()[:15], 16) % _FACTS_BUCKETS
+
+
+def _facts_stored_oracle() -> str:
+    from darkbo_spark.kg.oracle_twin import facts_oracle_sql
+
+    probes = ", ".join(
+        f"substr(sha256('entity:' || '{c}'), 1, 32)"
+        for c in _FACTS_PROBE_CANONICALS
+    )
+    return (
+        f"SELECT * FROM ({facts_oracle_sql(240, as_of='2024-01-05').rstrip()})"
+        f" WHERE subj_eid IN ({probes})"
+    )
+
+
+@_q("kg_facts_stored_lookup_x", _facts_stored_oracle())
+def kg_facts_stored_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity fact lookup against the PUBLISHED fact state: the probe
+    set's buckets prune the partitioned scan (PartitionFilters), then the
+    eid filter selects within them — a lookup touches ~|probes|/8 of the
+    state and never recomputes resolution. Same rows as resolving inline
+    and filtering (the oracle's formulation)."""
+    import pandas as pd
+
+    from darkbo_spark.operators.dedup import portable_hash60
+    from darkbo_spark.queries.common import _stored_table
+    from darkbo_spark.kg.temporal import resolve_facts
+
+    table = _stored_table(
+        sf_dir,
+        "kg_facts_state",
+        "documents",
+        lambda: resolve_facts(
+            _dated_linked_twin(spark, sf_dir), as_of="2024-01-05"
+        )
+        .withColumn(
+            "fact_bucket",
+            F.pmod(
+                portable_hash60(F.col("subj_eid")), F.lit(_FACTS_BUCKETS)
+            ).cast("int"),
+        )
+        .repartition("fact_bucket"),
+        partition_by=["fact_bucket"],
+        tag=f"factsb{_FACTS_BUCKETS}_v1",
+    )
+    probes = [_entity_eid_py(c) for c in _FACTS_PROBE_CANONICALS]
+    need = sorted({_facts_bucket_py(e) for e in probes})
+    probe_df = spark.createDataFrame(pd.DataFrame({"subj_eid": probes}))
+    return (
+        table.read(spark)
+        .filter(F.col("fact_bucket").isin(need))
+        .join(F.broadcast(probe_df), "subj_eid")
+        .select("subj_eid", "pred", "obj", "fact_date", "first_seen", "n_mentions")
+    )

@@ -250,6 +250,13 @@ CHECKS = {
         "Union", "SortAggregate", "hashpartitioning",
         "!SinglePartition", "!CartesianProduct",
     ],
+    # --- stored fact-state lookup: the probe set's buckets prune the
+    # partitioned scan before the broadcast eid join — never an inline
+    # re-resolution, no product
+    "kg_facts_stored_lookup_x": [
+        "PartitionFilters: [", "fact_bucket", "BroadcastHashJoin",
+        "!CartesianProduct", "!SortMergeJoin",
+    ],
     # --- crawl-cycle fact diff: one conditional-envelope aggregate +
     # two windows on the collapsed fact table — never two passes over
     # mentions, no funnel, no product
