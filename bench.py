@@ -128,6 +128,7 @@ HEADLINE = [
     "warc_cdx_incremental_x",
     "warc_fetch_dedup_x",
     "kg_fact_changes_x",
+    "kg_facts_incremental_x",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -64,32 +64,79 @@ def resolve_facts(
     (one row per distinct value), never the mentions — same envelope as
     fact_support. Returns (subj_eid, pred, obj, fact_date, first_seen,
     n_mentions)."""
-    env = (
+    scoped = linked.filter(
+        F.to_date(F.col(ts_col)) <= F.lit(as_of).cast("date")
+    )
+    return resolve_from_envelopes(
+        fact_envelopes(scoped, ts_col), functional_preds
+    )
+
+
+def fact_envelopes(linked: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """MERGEABLE sufficient statistics of the fact state: one row per
+    (subj_eid, pred, obj) with (first_ts, last_ts, n_mentions). This is
+    the table an INCREMENTAL fact state persists — max/min/count are
+    associative and commutative, so a crawl cycle's delta merges into
+    the stored state with one aggregate and NO re-read of historical
+    mentions (merge_fact_envelopes); winner selection is a separate,
+    cheap pass over the dictionary-bounded state (resolve_from_envelopes).
+    Mentions only ever ACCUMULATE (a crawl never retracts an assertion),
+    which is exactly why the envelope algebra is sufficient."""
+    return (
         linked.filter(F.col("subj_eid").isNotNull())
-        .filter(F.to_date(F.col(ts_col)) <= F.lit(as_of).cast("date"))
         .groupBy("subj_eid", "pred", "obj")
         .agg(
-            F.max(ts_col).alias("_max_ts"),
-            F.date_format(F.min(ts_col), "yyyy-MM-dd").alias("first_seen"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
             F.count("*").cast("bigint").alias("n_mentions"),
         )
     )
+
+
+def merge_fact_envelopes(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental fact-state maintenance: fold a new crawl cycle's
+    envelope delta into the stored state — one map-side-combinable
+    aggregate on the fact key over the union (min/max/sum are the
+    envelope algebra). Commutative and associative: any merge order
+    yields the same state, so cycles can land out of order."""
+    both = state.select(
+        "subj_eid", "pred", "obj", "first_ts", "last_ts", "n_mentions"
+    ).unionByName(
+        delta.select(
+            "subj_eid", "pred", "obj", "first_ts", "last_ts", "n_mentions"
+        )
+    )
+    return both.groupBy("subj_eid", "pred", "obj").agg(
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.sum("n_mentions").cast("bigint").alias("n_mentions"),
+    )
+
+
+def resolve_from_envelopes(
+    env: DataFrame,
+    functional_preds: tuple[str, ...] = FUNCTIONAL_PREDS,
+) -> DataFrame:
+    """Winner selection over an envelope state (fact_envelopes /
+    merge_fact_envelopes output): functional slots latest-wins on
+    (last_ts, obj), multi-valued slots pass through — the second phase
+    of resolve_facts, shared verbatim so the incremental path can never
+    drift from the oracled as-of semantics. The window moves only the
+    COLLAPSED state, never mentions."""
+    out = env
     if functional_preds:
         w = Window.partitionBy("subj_eid", "pred").orderBy(
-            F.col("_max_ts").desc(), F.col("obj").desc()
+            F.col("last_ts").desc(), F.col("obj").desc()
         )
-        env = (
-            env.withColumn("rk", F.row_number().over(w))
-            .filter(
-                (~F.col("pred").isin(*functional_preds)) | (F.col("rk") == 1)
-            )
+        out = out.withColumn("rk", F.row_number().over(w)).filter(
+            (~F.col("pred").isin(*functional_preds)) | (F.col("rk") == 1)
         )
-    return env.select(
+    return out.select(
         "subj_eid",
         "pred",
         "obj",
-        F.date_format("_max_ts", "yyyy-MM-dd").alias("fact_date"),
-        "first_seen",
+        F.date_format("last_ts", "yyyy-MM-dd").alias("fact_date"),
+        F.date_format("first_ts", "yyyy-MM-dd").alias("first_seen"),
         "n_mentions",
     )
 

@@ -700,3 +700,28 @@ def kg_facts_stored_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probe_df), "subj_eid")
         .select("subj_eid", "pred", "obj", "fact_date", "first_seen", "n_mentions")
     )
+
+
+@_q("kg_facts_incremental_x", facts_oracle_sql(240, as_of="2024-01-07"))
+def kg_facts_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL fact-state maintenance, driver-proven equal to a full
+    re-resolution: the stored state keeps mergeable envelopes (first/last
+    assertion ts + mention count per fact key), a new crawl cycle's delta
+    folds in with one aggregate over the union — no re-read of
+    historical mentions — and winner selection runs over the merged
+    state (kg/temporal.fact_envelopes / merge_fact_envelopes /
+    resolve_from_envelopes, the SAME second phase resolve_facts uses).
+    Here the initial state covers pages crawled ≤ 2024-01-03, the delta
+    is the 01-04..01-07 cycle, and the merged resolution hash-matches
+    the full as-of-2024-01-07 oracle."""
+    from darkbo_spark.kg.temporal import (
+        fact_envelopes,
+        merge_fact_envelopes,
+        resolve_from_envelopes,
+    )
+
+    linked = _dated_linked_twin(spark, sf_dir)
+    cut = F.to_date(F.col("warc_ts")) <= F.lit("2024-01-03").cast("date")
+    state = fact_envelopes(linked.filter(cut))
+    delta = fact_envelopes(linked.filter(~cut))
+    return resolve_from_envelopes(merge_fact_envelopes(state, delta))

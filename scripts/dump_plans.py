@@ -250,6 +250,13 @@ CHECKS = {
         "Union", "SortAggregate", "hashpartitioning",
         "!SinglePartition", "!CartesianProduct",
     ],
+    # --- incremental fact state: delta merge is ONE map-side-combinable
+    # aggregate over the envelope union; winner selection one window on
+    # the collapsed state — no historical-mention re-read, no funnel
+    "kg_facts_incremental_x": [
+        "HashAggregate", "Union", "Window", "hashpartitioning",
+        "!SinglePartition", "!CartesianProduct",
+    ],
     # --- stored fact-state lookup: the probe set's buckets prune the
     # partitioned scan before the broadcast eid join — never an inline
     # re-resolution, no product

@@ -418,3 +418,44 @@ def test_fact_changes_one_pass_equals_compositional(spark):
         for r in old.join(new, ["subj_eid", "pred", "obj"], "left_anti").collect()
     }
     assert got == comp
+
+
+def test_envelope_merge_algebra(spark):
+    """The envelope algebra is commutative/associative and the merged
+    resolution equals direct resolution on the concatenated mentions —
+    cycles can land in any order and in any number of merges."""
+    from darkbo_spark.kg.temporal import (
+        fact_envelopes,
+        merge_fact_envelopes,
+        resolve_facts,
+        resolve_from_envelopes,
+    )
+
+    cycles = [
+        _linked(spark, [
+            ("u/1", 0, "based_in", "Berlin", "e1", "2024-01-01"),
+            ("u/2", 0, "acquired", "Acme", "e1", "2024-01-02"),
+        ]),
+        _linked(spark, [
+            ("u/3", 0, "based_in", "Madrid", "e1", "2024-01-04"),
+            ("u/4", 0, "acquired", "Acme", "e1", "2024-01-05"),
+        ]),
+        _linked(spark, [
+            ("u/5", 0, "acquired", "Zeta", "e1", "2024-01-06"),
+        ]),
+    ]
+    envs = [fact_envelopes(c) for c in cycles]
+    fwd = merge_fact_envelopes(merge_fact_envelopes(envs[0], envs[1]), envs[2])
+    rev = merge_fact_envelopes(envs[2], merge_fact_envelopes(envs[1], envs[0]))
+    a = {tuple(r) for r in resolve_from_envelopes(fwd).collect()}
+    b = {tuple(r) for r in resolve_from_envelopes(rev).collect()}
+    assert a == b
+
+    allm = cycles[0].unionByName(cycles[1]).unionByName(cycles[2])
+    direct = {tuple(r) for r in resolve_facts(allm, as_of="2024-01-07").collect()}
+    assert a == direct
+    # envelopes really accumulated: Acme seen in two cycles -> 2 mentions
+    got = {(r.pred, r.obj): (r.first_seen, r.fact_date, r.n_mentions)
+           for r in resolve_from_envelopes(fwd).collect()}
+    assert got[("acquired", "Acme")] == ("2024-01-02", "2024-01-05", 2)
+    assert got[("based_in", "Madrid")] == ("2024-01-04", "2024-01-04", 1)
