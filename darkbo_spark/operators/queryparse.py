@@ -30,7 +30,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from darkbo_spark.operators.tfidf import bm25_score_query, build_bm25_postings
+from darkbo_spark.operators.tfidf import (
+    bm25_postings_for_query,
+    bm25_score_query,
+    build_bm25_postings,
+)
 from darkbo_spark.reference_impl import STOP_WORDS
 
 _PHRASE = re.compile(r'"([^"]*)"')
@@ -88,52 +92,88 @@ def search_text(
     the index is built once and every query reads the stored table. When
     None, postings are built inline from `docs` (self-contained form)."""
     pq = parse_query(query)
-    if postings is None:
-        postings = build_bm25_postings(docs, text_col, id_col)
-    if pq.terms:
-        spark = docs.sparkSession
-        import pandas as pd
-
-        q = spark.createDataFrame(pd.DataFrame({"token": sorted(set(pq.terms))}))
-        # AND semantics: keep docs whose matched-term count equals |terms|
-        matched = (
-            postings.join(F.broadcast(q), "token")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("_nt"))
-            .filter(F.col("_nt") == len(set(pq.terms)))
-            .select("doc_id")
-        )
-    else:
+    # ranking terms include the analyzed words of phrases (Whoosh scores
+    # phrase queries by their word weights too)
+    rank_terms = sorted(
+        set(pq.terms)
+        | {
+            w
+            for ph in pq.phrases
+            for w in _WORD.findall(ph)
+            if len(w) >= 2 and w not in STOP_WORDS
+        }
+    )
+    if not rank_terms:
+        # zero-score listing shape (no analyzable words): needs the full
+        # postings roster — keep the unfused path for this rare edge
+        if postings is None:
+            postings = build_bm25_postings(docs, text_col, id_col)
         matched = docs.select(F.col(id_col).alias("doc_id"))
+        patterns = [p for p in (phrase_regex(ph) for ph in pq.phrases) if p]
+        if patterns:
+            cand_docs = docs.select(
+                F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lt")
+            ).join(matched, "doc_id", "left_semi")
+            cond = F.col("_lt").rlike(patterns[0])
+            for pat in patterns[1:]:
+                cond = cond & F.col("_lt").rlike(pat)
+            matched = cand_docs.filter(cond).select("doc_id")
+        return (
+            postings.join(matched, "doc_id", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(0.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(top_k)
+        )
+    # FUSED match+rank: one aggregate over the query's token rows computes
+    # the AND-match count and the BM25 score together — the old
+    # matched-agg → candidates-semi-join → score-agg chain collapsed to a
+    # single exchange (identical rows/values: a doc scores iff it has ≥1
+    # rank-token row, which the inner scoring join enforced before).
+    # Token restriction is a literal isin (pushes to the scan as
+    # PushedFilters on the stored path — a tiny-frame broadcast join
+    # cannot), and weights for the inline path are built only for the
+    # query's tokens (bm25_postings_for_query, arithmetic-identical).
+    needed = sorted(set(pq.terms) | set(rank_terms))
+    if postings is None:
+        postings = bm25_postings_for_query(docs, needed, text_col, id_col)
+    sub = postings.filter(F.col("token").isin(needed))
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("token").isin(rank_terms), F.col("w").cast("decimal(18,6)")
+            )
+        ).alias("_score")
+    ]
+    match_terms = sorted(set(pq.terms))
+    if match_terms:
+        aggs.append(
+            F.count(F.when(F.col("token").isin(match_terms), F.lit(1))).alias("_nt")
+        )
+    agg = sub.groupBy("doc_id").agg(*aggs)
+    if match_terms:
+        # AND semantics: keep docs whose matched-term count equals |terms|
+        agg = agg.filter(F.col("_nt") == len(match_terms))
     patterns = [p for p in (phrase_regex(ph) for ph in pq.phrases) if p is not None]
     if patterns:
         # positional phrase semantics (Whoosh analyzed-phrase): the phrase
-        # WORDS in order, separated by non-word chars, on word boundaries —
-        # raw substring containment would match 'profi[table scan]dal'.
-        # CANDIDATES-FIRST: semi-join docs down to the AND-matched set
-        # before running any regex — the AND match prunes hard, so the
-        # rlike scans a handful of rows instead of the full corpus, and all
-        # phrases verify in ONE narrow pass (not one corpus scan per phrase)
+        # WORDS in order, separated by runs of non-word chars, on word
+        # boundaries. CANDIDATES-FIRST: semi-join docs down to the matched
+        # set before running any regex, all phrases verified in ONE pass.
         cand_docs = docs.select(
             F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lt")
-        ).join(matched, "doc_id", "left_semi")
+        ).join(agg.select("doc_id"), "doc_id", "left_semi")
         cond = F.col("_lt").rlike(patterns[0])
         for pat in patterns[1:]:
             cond = cond & F.col("_lt").rlike(pat)
-        matched = cand_docs.filter(cond).select("doc_id")
-    candidates = postings.join(matched, "doc_id", "left_semi")
-    # ranking terms include the analyzed words of phrases (Whoosh scores
-    # phrase queries by their word weights too)
-    rank_terms = list(pq.terms)
-    for ph in pq.phrases:
-        rank_terms.extend(
-            w for w in _WORD.findall(ph) if len(w) >= 2 and w not in STOP_WORDS
-        )
-    if not rank_terms:
-        return candidates.select("doc_id").distinct().select(
-            "doc_id", F.lit(0.0).alias("score")
-        ).orderBy(F.asc("doc_id")).limit(top_k)
-    return bm25_score_query(candidates, rank_terms, top_k=top_k)
+        agg = agg.join(cand_docs.filter(cond).select("doc_id"), "doc_id", "left_semi")
+    return (
+        agg.filter(F.col("_score").isNotNull())
+        .select("doc_id", F.col("_score").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -409,18 +449,10 @@ def search_boolean(
     analyzed term/phrase-word in the query (Whoosh's scoring shape — NOT
     factors filter, they never score). Returns (doc_id, score)."""
     bq = parse_boolean_query(query, fields=fields)
-    if postings is None:
-        postings = build_bm25_postings(docs, text_col, id_col)
     if not bq.clauses:
         return docs.select(
             F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
         ).limit(0)
-    matched = _clause_matches(docs, postings, bq.clauses[0], text_col, id_col)
-    for clause in bq.clauses[1:]:
-        matched = matched.union(
-            _clause_matches(docs, postings, clause, text_col, id_col)
-        )
-    matched = matched.distinct()
     rank_terms: list[str] = []
     for c in bq.clauses:
         rank_terms.extend(c.terms)
@@ -429,9 +461,99 @@ def search_boolean(
                 w for w in _WORD.findall(ph) if len(w) >= 2 and w not in STOP_WORDS
             )
     rank_terms = sorted(set(rank_terms))
-    candidates = postings.join(matched, "doc_id", "left_semi")
     if not rank_terms:
+        # zero-score listing shape (pure-negation / fielded-only query):
+        # ranges over docs with ANY token — keep the unfused path and the
+        # full postings roster for this rare edge
+        if postings is None:
+            postings = build_bm25_postings(docs, text_col, id_col)
+        matched = _clause_matches(docs, postings, bq.clauses[0], text_col, id_col)
+        for clause in bq.clauses[1:]:
+            matched = matched.union(
+                _clause_matches(docs, postings, clause, text_col, id_col)
+            )
+        matched = matched.distinct()
+        candidates = postings.join(matched, "doc_id", "left_semi")
         return candidates.select("doc_id").distinct().select(
             "doc_id", F.lit(0.0).alias("score")
         ).orderBy(F.asc("doc_id")).limit(top_k)
-    return bm25_score_query(candidates, rank_terms, top_k=top_k)
+    # FUSED clause-match + rank: ONE aggregate over the query's token rows
+    # computes every clause's positive-term count, negated-term count and
+    # the BM25 score together; docs-side factors (fielded equality,
+    # phrase regexes) are verified candidates-first in one narrow docs
+    # pass. Identical results to the per-clause union form: a doc reaches
+    # the output iff it matches ≥1 clause AND has ≥1 rank-token row (the
+    # inner scoring join enforced the latter before; the _score-notnull
+    # filter does now), and clause membership is a per-doc predicate, so
+    # OR-ing predicates ≡ unioning matched sets. Token restriction is a
+    # literal isin (PushedFilters on the stored path); inline weights are
+    # built only for the query's tokens (bm25_postings_for_query).
+    needed = sorted(boolean_query_tokens(bq))
+    if postings is None:
+        postings = bm25_postings_for_query(docs, needed, text_col, id_col)
+    sub = postings.filter(F.col("token").isin(needed))
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("token").isin(rank_terms), F.col("w").cast("decimal(18,6)")
+            )
+        ).alias("_score")
+    ]
+    for i, c in enumerate(bq.clauses):
+        if c.terms:
+            aggs.append(
+                F.count(
+                    F.when(F.col("token").isin(sorted(set(c.terms))), F.lit(1))
+                ).alias(f"_nt{i}")
+            )
+        if c.not_terms:
+            aggs.append(
+                F.count(
+                    F.when(F.col("token").isin(sorted(set(c.not_terms))), F.lit(1))
+                ).alias(f"_nn{i}")
+            )
+    agg = sub.groupBy("doc_id").agg(*aggs)
+    # docs-side clause factors: fielded exact matches and positional
+    # phrase regexes, evaluated once per candidate doc (semi-join first —
+    # the regex never scans the full corpus)
+    doc_conds: dict[int, F.Column] = {}
+    lt = F.lower(F.col(text_col))
+    for i, c in enumerate(bq.clauses):
+        cond = None
+        for fld, val, neg in c.fielded:
+            eq = F.lower(F.col(fld).cast("string")) == val
+            eq = ~eq if neg else eq
+            cond = eq if cond is None else cond & eq
+        for pat in (p for p in (phrase_regex(ph) for ph in c.phrases) if p):
+            e = lt.rlike(pat)
+            cond = e if cond is None else cond & e
+        for pat in (p for p in (phrase_regex(ph) for ph in c.not_phrases) if p):
+            e = ~lt.rlike(pat)
+            cond = e if cond is None else cond & e
+        if cond is not None:
+            doc_conds[i] = cond
+    if doc_conds:
+        cand_docs = (
+            docs if id_col == "doc_id" else docs.withColumnRenamed(id_col, "doc_id")
+        ).join(agg.select("doc_id"), "doc_id", "left_semi")
+        flags = cand_docs.select(
+            "doc_id", *[doc_conds[i].alias(f"_pf{i}") for i in sorted(doc_conds)]
+        )
+        agg = agg.join(flags, "doc_id")
+    match = None
+    for i, c in enumerate(bq.clauses):
+        cc = F.lit(True)
+        if c.terms:
+            cc = cc & (F.col(f"_nt{i}") == len(set(c.terms)))
+        if c.not_terms:
+            cc = cc & (F.col(f"_nn{i}") == 0)
+        if i in doc_conds:
+            cc = cc & F.col(f"_pf{i}")
+        match = cc if match is None else match | cc
+    return (
+        agg.filter(match)
+        .filter(F.col("_score").isNotNull())
+        .select("doc_id", F.col("_score").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )

@@ -122,23 +122,91 @@ def build_bm25_postings(
     )
 
 
+def tfidf_postings_for_query(
+    docs: DataFrame,
+    tokens,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """(token, doc_id, tf, idf, tf_idf) restricted to `tokens` — identical
+    arithmetic to build_postings (df for a token counts that token's rows,
+    which survive the token filter intact), but the full-vocabulary df
+    shuffle and the corpus-wide weight join collapse to the query's token
+    rows. The serve shape: query cost scales with the query's postings,
+    not the corpus vocabulary (guide §2.3 — don't compute what you throw
+    away)."""
+    tf = _term_freq(docs, text_col, id_col, persist=persist)
+    # literal isin, not a tiny-frame join: pushes to the scan when tf is a
+    # stored table and costs no broadcast/createDataFrame round-trip
+    sub = tf.filter(F.col("token").isin(sorted(set(tokens))))
+    df_t = sub.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(_corpus_n(docs))).withColumn(
+        "idf", F.log((F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    ).drop("n_docs")
+    return sub.join(F.broadcast(idf), "token").withColumn(
+        "tf_idf", F.col("tf") * F.col("idf")
+    )
+
+
+def bm25_postings_for_query(
+    docs: DataFrame,
+    tokens,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    persist: bool = True,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """(token, doc_id, w) restricted to `tokens` — the query-time twin of
+    build_bm25_postings with IDENTICAL arithmetic (same integer sufficient
+    statistics → same IEEE doubles → same 6dp rounding; the equivalence
+    class bm25_weights_for_terms already hash-proves), but df and the
+    weight join run only over the query's token rows. dl and the corpus
+    stats still aggregate the full tf (a doc's length spans all its
+    tokens), which is one map-side-combinable pass; everything else
+    scales with the query."""
+    if tf is None:
+        tf = _term_freq(docs, text_col, id_col, persist=persist)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # literal isin, not a tiny-frame join (scan pushdown, no broadcast)
+    sub = tf.filter(F.col("token").isin(sorted(set(tokens))))
+    df_t = sub.groupBy("token").agg(F.count("*").alias("df"))
+    stats = F.broadcast(
+        dl.crossJoin(F.broadcast(_corpus_n(docs))).agg(
+            F.first("n_docs").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.first("n_docs").cast("double")).alias("avgdl"),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        sub.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .crossJoin(stats)
+        .select("token", "doc_id", F.round(idf * tf_norm, 6).alias("w"))
+    )
+
+
 def bm25_score_query(
     bm25_postings: DataFrame, query_terms: list[str], top_k: int = 10
 ) -> DataFrame:
     """Top-k docs by Σ BM25 weight over the query terms (OR semantics —
     Whoosh union scoring). Decimal accumulation of the 6dp-rounded per-term
     weights keeps Spark and DuckDB bit-identical."""
-    spark = bm25_postings.sparkSession
-    import pandas as pd
-
     terms = sorted({t.lower() for t in query_terms})
-    if not terms:  # empty pandas frame can't infer a schema
+    if not terms:
         return bm25_postings.select(
             "doc_id", F.lit(0.0).alias("score")
         ).limit(0)
-    q = spark.createDataFrame(pd.DataFrame({"token": terms}))
     scored = (
-        bm25_postings.join(F.broadcast(q), "token")
+        bm25_postings.filter(F.col("token").isin(terms))
         .groupBy("doc_id")
         .agg(F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"))
     )
@@ -148,15 +216,10 @@ def bm25_score_query(
 def score_query(postings: DataFrame, query_terms: list[str], top_k: int = 10) -> DataFrame:
     """Top-k docs by Σ tf·idf over the query's terms. Query side is a tiny
     literal table → broadcast join; deterministic tie-break on doc_id."""
-    import pandas as pd
-
-    spark = postings.sparkSession
-    # pandas/Arrow path — createDataFrame(list) takes the RDD-pickle path
-    q = spark.createDataFrame(
-        pd.DataFrame({"token": sorted({t.lower() for t in query_terms})})
-    )
     scored = (
-        postings.join(F.broadcast(q), "token")
+        postings.filter(
+            F.col("token").isin(sorted({t.lower() for t in query_terms}))
+        )
         .groupBy("doc_id")
         # per-term 6dp round → DECIMAL sum → double: a raw-double SUM
         # accumulates in partial-aggregation order, so a score straddling a
@@ -266,11 +329,7 @@ def bm25_weights_for_terms(
     tf/dl statistics, for exactly the given terms — identical arithmetic
     (and 6dp rounding) to build_bm25_postings, so serving from the
     incremental index is bit-equal to serving from a full rebuild."""
-    spark = tf_index.sparkSession
-    import pandas as pd
-
-    q = spark.createDataFrame(pd.DataFrame({"token": sorted(set(terms))}))
-    sub = tf_index.join(F.broadcast(q), "token")
+    sub = tf_index.filter(F.col("token").isin(sorted(set(terms))))
     df_t = sub.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     st = F.broadcast(
         stats.select(

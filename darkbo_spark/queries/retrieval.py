@@ -16,9 +16,7 @@ from pyspark.sql import functions as F
 
 from darkbo_spark.operators.scoring import relevance_score_col, relevance_score_sql
 from darkbo_spark.operators.similarity import brute_force_topk, lsh_topk
-from darkbo_spark.operators.tfidf import build_postings
-
-from darkbo_spark.queries.common import _q, _t, _corpus_fp, _stored_table, _terms_df
+from darkbo_spark.queries.common import _q, _t, _corpus_fp, _stored_table
 
 
 # ---------------------------------------------------------------------------
@@ -128,14 +126,17 @@ LIMIT 10
 
 @_q("tfidf_topk", _TFIDF_ORACLE)
 def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darkbo_spark.operators.tfidf import tfidf_postings_for_query
+
     docs = _t(spark, sf_dir, "documents")
-    postings = build_postings(docs).withColumn(
+    # postings restricted to the query's terms at the source (identical
+    # tf/idf arithmetic; no full-vocabulary weight pass) — the terms join
+    # is already folded into the restriction
+    postings = tfidf_postings_for_query(docs, _TFIDF_TERMS).withColumn(
         "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
     )
-    scored = (
-        postings.join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
-        .groupBy("doc_id")
-        .agg(F.sum("tf_idf").cast("double").alias("score"))
+    scored = postings.groupBy("doc_id").agg(
+        F.sum("tf_idf").cast("double").alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
@@ -188,10 +189,14 @@ LIMIT 10
 
 @_q("bm25_topk", _BM25_ORACLE)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from darkbo_spark.operators.tfidf import bm25_score_query, build_bm25_postings
+    from darkbo_spark.operators.tfidf import bm25_postings_for_query, bm25_score_query
 
     docs = _t(spark, sf_dir, "documents")
-    return bm25_score_query(build_bm25_postings(docs), _TFIDF_TERMS, top_k=10)
+    # weights computed only for the query's terms (identical arithmetic to
+    # the full build — bm25_score_query joined the same term set anyway)
+    return bm25_score_query(
+        bm25_postings_for_query(docs, _TFIDF_TERMS), _TFIDF_TERMS, top_k=10
+    )
 
 
 # raw question string — NOT a pre-tokenized term list; parse_query derives
@@ -463,13 +468,14 @@ _TFIDF_SPARSE_SELECT = f"""
 def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.hybrid import hybrid_merge
 
+    from darkbo_spark.operators.tfidf import tfidf_postings_for_query
+
     docs, dense, basic = _hybrid_dense_basic(spark, sf_dir)
-    postings = build_postings(docs).withColumn(
+    postings = tfidf_postings_for_query(docs, _TFIDF_TERMS).withColumn(
         "tf_idf", F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
     )
     sparse = (
-        postings.join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
-        .groupBy("doc_id")
+        postings.groupBy("doc_id")
         .agg(F.sum("tf_idf").cast("double").alias("score"))
         .select(F.col("doc_id").alias("id"), "score")
     )
@@ -491,12 +497,11 @@ _BM25_SPARSE_SELECT = f"""
 @_q("hybrid_search_bm25", _hybrid_oracle_sql(_BM25_CTES.strip(), _BM25_SPARSE_SELECT))
 def hybrid_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.hybrid import hybrid_merge
-    from darkbo_spark.operators.tfidf import build_bm25_postings
+    from darkbo_spark.operators.tfidf import bm25_postings_for_query
 
     docs, dense, basic = _hybrid_dense_basic(spark, sf_dir)
     sparse = (
-        build_bm25_postings(docs)
-        .join(F.broadcast(_terms_df(spark, _TFIDF_TERMS)), "token")
+        bm25_postings_for_query(docs, _TFIDF_TERMS)
         .groupBy("doc_id")
         .agg(F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("score"))
         .select(F.col("doc_id").alias("id"), "score")

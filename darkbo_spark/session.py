@@ -38,7 +38,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing stays parallelism-first (the default): measured
+        # A/B here showed bytes-first coalescing collapses the CPU-bound
+        # Arrow-UDF pipeline stages to 1-2 tasks (kg_pipeline 6.9→13.0 s,
+        # kg_facts_stages 4.8→19.0 s) — partition-by-bytes is the right
+        # call only for I/O-bound stages, which AQE cannot distinguish.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §3.1) — no sort, graceful fallback is automatic
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
