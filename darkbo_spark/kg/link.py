@@ -183,7 +183,7 @@ def embed_candidates(
             "s_vec", F.transform(embed_udf(F.col("s_norm")), lambda x: x.cast("double"))
         )
         .filter(l2_norm(F.col("s_vec")) > 0)
-        .withColumn("_bucket", _sign_bucket(F.col("s_vec"), planes))
+        .withColumn("_bucket", _sign_bucket("s_vec", planes))
     )
     dic = (
         entity_dict.select(_norm(F.col("alias")).alias("alias_norm"), "eid")
@@ -193,7 +193,7 @@ def embed_candidates(
             F.transform(embed_udf(F.col("alias_norm")), lambda x: x.cast("double")),
         )
         .filter(l2_norm(F.col("d_vec")) > 0)
-        .withColumn("_bucket", _sign_bucket(F.col("d_vec"), planes))
+        .withColumn("_bucket", _sign_bucket("d_vec", planes))
     )
     scored = (
         surf.join(dic, "_bucket")

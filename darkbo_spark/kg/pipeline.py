@@ -385,39 +385,66 @@ def _run_locked(
                 return out.coalesce(1)
             return out.repartition(n_buckets, F.col("fact_bucket"))
 
-        def _linked_with_ts():
-            return kg_tbl.read(spark).join(
-                docs_tbl.read(spark).select("url", "warc_ts"), "url"
-            )
+        # ONE join of kg_triples ⋈ docs shared by all five fusion stages,
+        # persisted for the duration of the block — unpersisted, each
+        # stage re-reads and re-joins the full triple stream (5× the
+        # dominant input). MEMORY_AND_DISK: spills instead of OOM at scale,
+        # and recompute-from-lineage stays available if evicted.
+        from pyspark import StorageLevel
 
-        def build_facts():
-            return (
-                _fusion_shape(
-                    resolve_facts(_linked_with_ts(), as_of=facts_asof), "subj_eid"
-                ),
-                None,
-            )
+        linked_ts = (
+            kg_tbl.read(spark)
+            .join(docs_tbl.read(spark).select("url", "warc_ts"), "url")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
 
-        stage("kg_facts", fp_k + fp_d, f"asof_{facts_asof}_v2", build_facts)
-
-        # cutoff-independent fusion tables: their fingerprints don't carry
-        # facts_asof, so moving the cutoff recomputes kg_facts alone
-        for name, params, fn, key in (
-            ("kg_conflicts", "conflicts_v2", detect_conflicts, "subj_eid"),
-            ("kg_entity_types", "types_v2", entity_types, "subj_eid"),
-            ("kg_fact_history", "history_v2", fact_history, "subj_eid"),
-            ("kg_entity_profiles", "profiles_v2", entity_profiles, "eid"),
-        ):
-            # bind fn/key per iteration (late-binding lambda trap)
-            stage(
-                name,
-                fp_k + fp_d,
-                params,
-                lambda fn=fn, key=key: (
-                    _fusion_shape(fn(_linked_with_ts()), key),
+            def build_facts():
+                return (
+                    _fusion_shape(
+                        resolve_facts(linked_ts, as_of=facts_asof), "subj_eid"
+                    ),
                     None,
-                ),
-            )
+                )
+
+            # the five fusion tables are mutually independent (disjoint
+            # output tables, shared read-only input), so publish them from
+            # a small thread pool: Spark schedules concurrent jobs onto
+            # free task slots, and the next stage's tasks back-fill the
+            # tail of the previous one (guide §2.6). 2 in flight is enough
+            # to hide the tails without starving either job.
+            from concurrent.futures import ThreadPoolExecutor
+
+            fusion_jobs = [
+                ("kg_facts", f"asof_{facts_asof}_v2", build_facts)
+            ] + [
+                (
+                    name,
+                    params,
+                    # bind fn/key per iteration (late-binding lambda trap)
+                    lambda fn=fn, key=key: (
+                        _fusion_shape(fn(linked_ts), key),
+                        None,
+                    ),
+                )
+                for name, params, fn, key in (
+                    ("kg_conflicts", "conflicts_v2", detect_conflicts, "subj_eid"),
+                    ("kg_entity_types", "types_v2", entity_types, "subj_eid"),
+                    ("kg_fact_history", "history_v2", fact_history, "subj_eid"),
+                    ("kg_entity_profiles", "profiles_v2", entity_profiles, "eid"),
+                )
+            ]
+            # cutoff-independent tables don't carry facts_asof in their
+            # fingerprints, so moving the cutoff recomputes kg_facts alone
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futures = [
+                    pool.submit(stage, name, fp_k + fp_d, params, build)
+                    for name, params, build in fusion_jobs
+                ]
+                for f in futures:
+                    f.result()  # surface the first failure
+        finally:
+            linked_ts.unpersist()
 
     if metrics_rows:
         import pandas as pd

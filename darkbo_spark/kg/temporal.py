@@ -125,11 +125,22 @@ def resolve_from_envelopes(
     COLLAPSED state, never mentions."""
     out = env
     if functional_preds:
-        w = Window.partitionBy("subj_eid", "pred").orderBy(
-            F.col("last_ts").desc(), F.col("obj").desc()
-        )
-        out = out.withColumn("rk", F.row_number().over(w)).filter(
-            (~F.col("pred").isin(*functional_preds)) | (F.col("rk") == 1)
+        # winner = the row holding max (last_ts, obj) in its slot — an
+        # UNORDERED window aggregate instead of a row_number over a fully
+        # ordered window: the exec sorts only on the partition keys, never
+        # on (last_ts, obj), so the big multi-valued partitions skip the
+        # value sort they were paying for a rank they never used. struct
+        # max compares (last_ts, obj) lexicographically — exactly the old
+        # (desc, desc) rk==1 row; obj is the group key, so the max is
+        # unique and exactly one row matches.
+        w = Window.partitionBy("subj_eid", "pred")
+        key = F.struct(F.col("last_ts"), F.col("obj"))
+        out = (
+            env.withColumn("_mx", F.max(key).over(w))
+            .filter(
+                (~F.col("pred").isin(*functional_preds)) | (key == F.col("_mx"))
+            )
+            .drop("_mx")
         )
     return out.select(
         "subj_eid",

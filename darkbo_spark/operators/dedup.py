@@ -219,21 +219,23 @@ def simhash(
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     h = tf.withColumn("h", _token_hash(F.col("token"), hash_mode))
+    # per-bit vote and pack expressions built as SQL text, parsed JVM-side
+    # in one call each: the Column-API form issued ~11.5k py4j round
+    # trips (~2 s of driver wall PER simhash call) for the same trees
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN tf ELSE -tf END)"
         ).alias(f"b{i}")
         for i in range(nbits)
     ]
     agg = h.groupBy("doc_id").agg(*votes)
-    sim = F.lit(0).cast("bigint")
-    for i in range(nbits):
-        sim = sim + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-    return agg.select("doc_id", sim.alias("simhash"))
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+            for i in range(nbits)
+        )
+    )
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
 def simhash_neardup_pairs(

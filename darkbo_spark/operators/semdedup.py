@@ -24,7 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from darkbo_spark.operators.similarity import (
-    _nested_lit,
+    _dot_sql,
+    _nested_lit_sql,
     cosine,
     dot,
     random_planes,
@@ -52,8 +53,11 @@ def assign_cells(
     9 dp BEFORE the argmax and ties take the first index — the exact rule
     the oracle replays, so cell assignment can never diverge on an
     engine's last-bit summation difference."""
-    dots = F.transform(
-        _nested_lit(codebook), lambda c: F.round(dot(F.col(vec_col), c), 9)
+    # one-expr SQL form (similarity._sign_bucket rationale): same round /
+    # fold expressions, parsed JVM-side in one py4j round-trip
+    dots = F.expr(
+        f"transform({_nested_lit_sql(codebook)},"
+        f" c -> round({_dot_sql(vec_col, 'c')}, 9))"
     )
     return emb.select(
         id_col,

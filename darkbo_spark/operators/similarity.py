@@ -62,32 +62,35 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _nested_lit(mat: list[list[float]]) -> Column:
-    # ONE py4j round-trip: both F.array(F.lit(...)) and F.lit(list) cost a
-    # JVM call per ELEMENT (measured ~2s for a 4×6×64 plane matrix); a
-    # single parsed SQL literal is one call. repr() round-trips doubles
-    # exactly.
+def _nested_lit_sql(mat: list[list[float]]) -> str:
+    # a single parsed SQL literal: both F.array(F.lit(...)) and F.lit(list)
+    # cost a JVM call per ELEMENT (measured ~2s for a 4×6×64 plane
+    # matrix). repr() round-trips doubles exactly.
     rows = ", ".join(
         "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in mat
     )
-    return F.expr(f"array({rows})")
+    return f"array({rows})"
 
 
-def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of `dot` — same fold, same 0D init, parsed in one call."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _sign_bucket(vec: str, planes: list[list[float]]) -> Column:
     """Bucket id from signs of dot products with fixed random hyperplanes.
 
-    One nested-array literal + shared-lambda transform/aggregate: an
-    unrolled per-plane expression tree (N aggregates) costs seconds of
-    analysis/codegen at N·dim literals — the shared lambda compiles ONE
-    loop regardless of plane count."""
-    dots = F.transform(_nested_lit(planes), lambda p: dot(vec, p))
-    powers = F.expr(
-        "array(" + ", ".join(f"{1 << i}L" for i in range(len(planes))) + ")"
-    )
-    return F.aggregate(
-        F.zip_with(dots, powers, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0).cast("bigint"))),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    `vec` is the COLUMN NAME (inlined into SQL text): the whole
+    plane-matrix literal + transform/aggregate tree parses JVM-side in ONE
+    py4j round-trip — the Column-API form of this tree cost ~400 round
+    trips per call (several per lambda), ~1.4 s of driver wall across the
+    8 calls a multi-table query makes. Same expressions, same floats."""
+    powers = "array(" + ", ".join(f"{1 << i}L" for i in range(len(planes))) + ")"
+    dots = f"transform({_nested_lit_sql(planes)}, p -> {_dot_sql(vec, 'p')})"
+    return F.expr(
+        f"aggregate(zip_with({dots}, {powers},"
+        " (d, pw) -> CASE WHEN d >= 0 THEN pw ELSE 0L END),"
+        " 0L, (acc, v) -> acc + v)"
     )
 
 
@@ -114,8 +117,8 @@ def lsh_topk(
     bucket equals the query's. One shuffle on bucket instead of a full
     cross product — the 100 TB plan when queries are many."""
     planes = random_planes(dim, n_planes, seed)
-    c = corpus.withColumn("_bucket", _sign_bucket(F.col(vec_col), planes))
-    q = queries.withColumn("_bucket", _sign_bucket(F.col(qvec_col), planes))
+    c = corpus.withColumn("_bucket", _sign_bucket(vec_col, planes))
+    q = queries.withColumn("_bucket", _sign_bucket(qvec_col, planes))
     joined = c.join(q, "_bucket")
     scored = joined.select(
         F.col(qid_col).alias("qid"),
@@ -159,9 +162,9 @@ def train_ivf_centroids(
     return [[float(v) for v in c] for c in cents]
 
 
-def _cell_dots(vec: Column, centroids: list[list[float]]) -> Column:
-    # shared-lambda transform over one nested literal (see _sign_bucket)
-    return F.transform(_nested_lit(centroids), lambda c: dot(vec, c))
+def _cell_dots(vec: str, centroids: list[list[float]]) -> Column:
+    # one-expr SQL form (see _sign_bucket); `vec` is the column name
+    return F.expr(f"transform({_nested_lit_sql(centroids)}, c -> {_dot_sql(vec, 'c')})")
 
 
 def ivf_topk(
@@ -189,13 +192,13 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, dim, vec_col, id_col, n_cells=n_cells, seed=seed
         )
-    c_dots = _cell_dots(F.col(vec_col), centroids)
+    c_dots = _cell_dots(vec_col, centroids)
     c = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("_cvec"),
         (F.array_position(c_dots, F.array_max(c_dots)) - 1).cast("int").alias("cell"),
     )
-    q_dots = _cell_dots(F.col(qvec_col), centroids)
+    q_dots = _cell_dots(qvec_col, centroids)
     # top n_probe cells per query: sort (dot, NEGATED idx) structs and
     # reverse → dot desc, idx ASC on ties — the same lowest-index tie-break
     # as the corpus side's array_position(max); opposite tie directions
@@ -241,7 +244,7 @@ def build_ivf_index(
         centroids = train_ivf_centroids(
             corpus, dim, vec_col, id_col, n_cells=n_cells, seed=seed
         )
-    c_dots = _cell_dots(F.col(vec_col), centroids)
+    c_dots = _cell_dots(vec_col, centroids)
     index = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("embedding"),
@@ -266,7 +269,7 @@ def ivf_topk_stored(
     `cell IN (...)` filter so a cell-partitioned store prunes partitions
     before any row is read. Query↔cell matching stays a join, the filter
     is the scan-level prune."""
-    q_dots = _cell_dots(F.col(qvec_col), centroids)
+    q_dots = _cell_dots(qvec_col, centroids)
     idx_structs = F.transform(
         q_dots, lambda d, i: F.struct(d.alias("d"), (-i).alias("ni"))
     )
@@ -325,7 +328,7 @@ def lsh_topk_multi(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                _sign_bucket(F.col(vec_col), planes).alias("bucket"),
+                _sign_bucket(vec_col, planes).alias("bucket"),
             )
             for t, planes in enumerate(tables)
         ]
@@ -343,7 +346,7 @@ def lsh_topk_multi(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                _sign_bucket(F.col(qvec_col), planes).alias("bucket"),
+                _sign_bucket(qvec_col, planes).alias("bucket"),
             )
             for t, planes in enumerate(tables)
         ]

@@ -28,8 +28,44 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# tables below this size are spread across the cores with one cheap
+# round-robin exchange: a small parquet file is typically ONE row group,
+# so its scan — and every narrow op chained on it (tokenize, shingle,
+# regex, vector math) — otherwise runs as a single task regardless of
+# cluster size (a row group is unsplittable). Large tables split
+# naturally at row-group boundaries and are never shuffled by this.
+_SMALL_TABLE_BYTES = int(
+    __import__("os").environ.get("DARKBO_SMALL_TABLE_BYTES", str(256 << 20))
+)
+
+
+def _table_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    return _SMALL_TABLE_BYTES  # unknown layout: leave the scan alone
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        small = spread and _table_bytes(path) < _SMALL_TABLE_BYTES
+    except OSError:
+        small = False
+    if small:
+        # deterministic round-robin (sort-before-repartition is on by
+        # default, so retries reproduce the same layout); every query in
+        # the corpus is partition-layout-invariant (driver-hash gated)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:

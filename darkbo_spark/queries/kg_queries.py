@@ -174,8 +174,16 @@ def _twin_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.kg.oracle_twin import twin_pages
     from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
 
+    from pyspark import StorageLevel
+
     pages = twin_pages(_t(spark, sf_dir, "documents"))
-    return extract_raw_triples(segment_sentences(extract_docs(pages)))
+    # PERSISTED by canonical plan: this raw E→S→T chain (UDF extraction)
+    # feeds kg_triples_x and, via _kg_linked_twin, the whole linked-twin
+    # family — one cache entry shared across queries in a session (the
+    # UDFs are module-level singletons, so plans canonicalize equal)
+    return extract_raw_triples(segment_sentences(extract_docs(pages))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 @_q("kg_triples_x", est_oracle_sql(240))
@@ -218,9 +226,13 @@ def _kg_linked_twin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFram
     from darkbo_spark.kg.link import link_entities
     from darkbo_spark.kg.oracle_twin import twin_entity_dict
 
+    from pyspark import StorageLevel
+
     linked = link_entities(
         _twin_raw(spark, sf_dir), twin_entity_dict(spark), strategy=strategy
     )
+    # persisted like _twin_raw: consumers (cooccurrence, degrees,
+    # pagerank, two-hop, incremental) reference this from 2+ branches
     return linked.select(
         "url",
         F.col("sent_idx").cast("bigint").alias("sent_idx"),
@@ -229,7 +241,7 @@ def _kg_linked_twin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFram
         "obj",
         "subj_eid",
         "obj_eid",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @_q("kg_linked_x", linked_oracle_sql(240))
@@ -426,7 +438,19 @@ def _dated_linked_twin(
     linked = extract_and_link(
         pages, dictionary if dictionary is not None else twin_entity_dict(spark)
     )
-    return linked.join(F.broadcast(pages.select("url", "warc_ts")), "url")
+    # PERSISTED by canonical plan: a dozen kg_* queries run this same
+    # E→S→T→L chain (UDF extraction over the twin pages), and several
+    # reference it from 2-3 plan branches (profiles: degrees+types+facts;
+    # dict-growth: mine+before; nil-both: subj∪obj) — without the cache
+    # each branch re-runs the extraction UDFs. The UDFs are module-level
+    # singletons, so the canonical plan — and therefore the cache entry —
+    # is shared across queries in a session; distinct dictionaries get
+    # their own (dictionary-sized) entries, LRU-evicted under pressure.
+    from pyspark import StorageLevel
+
+    return linked.join(
+        F.broadcast(pages.select("url", "warc_ts")), "url"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @_q("kg_facts_asof_x", facts_oracle_sql(240, as_of="2024-01-05"))

@@ -360,7 +360,11 @@ def parsed_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_tf_delta,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: this body references the corpus from ~6 plan branches
+    # (stale index, delta, roster anti-join, final search) — measured, the
+    # extra round-robin exchange per branch costs more than the map-side
+    # parallelism it buys on an already shuffle-bound plan
+    docs = _t(spark, sf_dir, "documents", spread=False)
     is_delta = F.col("doc_id") % 3 == 0
     # initial index: every third doc indexed with WRONG text (a stale
     # earlier version); the delta re-ingests those docs with true text
@@ -370,11 +374,17 @@ def parsed_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text")
         ).alias("text"),
     )
+    from pyspark import StorageLevel
+
     tf0, st0 = build_tf_index(stale)
     tf1, st1 = merge_tf_delta(tf0, st0, docs.filter(is_delta).select("doc_id", "text"))
+    # the derived weights feed two plan branches inside search_text (the
+    # fused aggregate and its candidates semi-join) — persist the tiny
+    # per-term postings so the whole build→merge→derive chain computes
+    # once, not once per branch (CacheManager dedups by canonical plan)
     postings = bm25_weights_for_terms(
         tf1, st1, sorted(set(_PARSED.terms) | set(_RANK_TERMS))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return search_text(docs, _RAW_QUERY, "text", "doc_id", top_k=10, postings=postings)
 
 
