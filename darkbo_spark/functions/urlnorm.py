@@ -150,8 +150,21 @@ def sql_surt_key(url: str) -> str:
 
 
 def sql_surt_prefix_filter(url_key: str, domain: str) -> str:
-    """DuckDB twin of surt_prefix_filter."""
+    """DuckDB twin of surt_prefix_filter.
+
+    A domain containing '_' or '%' (both legal in real hostnames' DNS
+    labels, and LIKE wildcards) would make the unescaped pattern match
+    sibling keys the Spark startswith side rejects — escape ONLY then, so
+    the generated SQL for ordinary domains stays byte-identical (the
+    driver fingerprints oracle text)."""
     p = surt_domain_prefix(domain)
+    if "_" in p or "%" in p:
+        e = p.replace("\\", "\\\\").replace("_", "\\_").replace("%", "\\%")
+        return (
+            f"({url_key} LIKE '{e})%' ESCAPE '\\' "
+            f"OR {url_key} LIKE '{e},%' ESCAPE '\\' "
+            f"OR {url_key} LIKE '{e}:%' ESCAPE '\\')"
+        )
     return (
         f"({url_key} LIKE '{p})%' OR {url_key} LIKE '{p},%' "
         f"OR {url_key} LIKE '{p}:%')"

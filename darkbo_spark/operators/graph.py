@@ -184,6 +184,13 @@ def entity_cooccurrence(
     # extract→link in the twin query) runs once, not per consumer; the
     # count materializes the cache. cx is broadcast twice — persist the
     # tiny aggregate too so the second broadcast reuses it.
+    # CACHE LIFETIME IS CALLER-OWNED: the entries are keyed by canonical
+    # plan (Spark's CacheManager), so repeated invocations over the same
+    # mentions share ONE entry rather than accumulating; a long-lived
+    # session invoking this over many DISTINCT inputs should
+    # spark.catalog.clearCache() (or unpersist via the returned lineage)
+    # between corpora — eagerly unpersisting here would defeat the reuse
+    # the persist exists for.
     from pyspark import StorageLevel
 
     ents = (

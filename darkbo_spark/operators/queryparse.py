@@ -358,7 +358,14 @@ def parse_boolean_query(
         clauses.append(c)
     return BoolQuery(
         clauses=[
-            c for c in clauses if c.has_positive() or c.not_terms or c.not_phrases
+            c
+            for c in clauses
+            # a clause whose only factors are NEGATED fielded literals is
+            # still satisfiable (NOT (lang:en AND scan) distributes to
+            # [NOT lang:en] OR [NOT scan]) — dropping it would lose the
+            # not-lang:en docs from the union; the matcher evaluates
+            # negated fielded factors as docs-side predicates already
+            if c.has_positive() or c.not_terms or c.not_phrases or c.fielded
         ]
     )
 

@@ -369,13 +369,21 @@ def lsh_topk_multi(
         q_base.select("qid", "_qvec", "t", F.explode(flips).alias("bucket"))
         .distinct()
     )
-    cand = (
+    # score FIRST, dedup after: a pair colliding in several tables has the
+    # same vectors — so the same cosine — in every copy; max() over equal
+    # values is that value. The old dropDuplicates shuffled BOTH embedding
+    # payloads per candidate row; this shuffles (qid, doc_id, score) only,
+    # with map-side partial aggregation (guide §8: move proxies, not
+    # payloads).
+    scored = (
         c.join(q, ["t", "bucket"])
-        .select("qid", "doc_id", "_qvec", "_cvec")
-        .dropDuplicates(["qid", "doc_id"])
-    )
-    scored = cand.select(
-        "qid", "doc_id", F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("score")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("score"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

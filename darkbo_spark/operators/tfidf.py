@@ -170,6 +170,13 @@ def bm25_postings_for_query(
     if tf is None:
         tf = _term_freq(docs, text_col, id_col, persist=persist)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    if persist:
+        # doc-count-sized and shared by every BM25 query over the same
+        # corpus (one cache entry by canonical plan) — each query
+        # otherwise re-aggregates the full tf for the same lengths
+        from pyspark import StorageLevel
+
+        dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
     # literal isin, not a tiny-frame join (scan pushdown, no broadcast)
     sub = tf.filter(F.col("token").isin(sorted(set(tokens))))
     df_t = sub.groupBy("token").agg(F.count("*").alias("df"))

@@ -28,14 +28,24 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-# tables below this size are spread across the cores with one cheap
-# round-robin exchange: a small parquet file is typically ONE row group,
-# so its scan — and every narrow op chained on it (tokenize, shingle,
-# regex, vector math) — otherwise runs as a single task regardless of
-# cluster size (a row group is unsplittable). Large tables split
-# naturally at row-group boundaries and are never shuffled by this.
+# CONTENT tables below this size are spread across the cores with one
+# cheap round-robin exchange: a small parquet file is typically ONE row
+# group, so its scan — and every narrow op chained on it (tokenize,
+# shingle, regex, vector math) — otherwise runs as a single task
+# regardless of cluster size (a row group is unsplittable). Large tables
+# split naturally at row-group boundaries and are never shuffled by this.
+# Only the per-row-compute-heavy tables are spread: for the relational
+# tables (dims/facts) the first real operator is a join or aggregate
+# whose exchange provides the parallelism anyway, and an extra
+# round-robin ahead of a BroadcastExchange is pure overhead (measured:
+# q3/q5 +0.5 s each with an unconditional spread).
 _SMALL_TABLE_BYTES = int(
     __import__("os").environ.get("DARKBO_SMALL_TABLE_BYTES", str(256 << 20))
+)
+_SPREAD_TABLES = frozenset(
+    __import__("os")
+    .environ.get("DARKBO_SPREAD_TABLES", "documents,embeddings")
+    .split(",")
 )
 
 
@@ -57,7 +67,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> Data
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     try:
-        small = spread and _table_bytes(path) < _SMALL_TABLE_BYTES
+        small = (
+            spread
+            and name in _SPREAD_TABLES
+            and _table_bytes(path) < _SMALL_TABLE_BYTES
+        )
     except OSError:
         small = False
     if small:

@@ -86,7 +86,12 @@ CHECKS = {
     # --- KG oracle twins: the real pipeline shapes — column-pruned parquet
     # scan into the Arrow UDF stages (narrow maps, no shuffle before the
     # explode), and both link lookups as broadcast joins of the triples side
-    "kg_triples_x": ["ArrowEvalPython", "ReadSchema: struct<doc_id:bigint>", "!Exchange"],
+    "kg_triples_x": [
+        # the only exchange is the deliberate small-input round-robin
+        # spread (queries/common._t); no KEY shuffle before the UDF maps
+        "ArrowEvalPython", "ReadSchema: struct<doc_id:bigint>",
+        "!hashpartitioning", "!rangepartitioning",
+    ],
     "kg_linked_x": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
     # --- prebuild stored-serve: every channel reads the PUBLISHED snapshot
     # tables; sparse is a broadcast term join, the merge ends in one top-k —
@@ -94,7 +99,9 @@ CHECKS = {
     # (the dense channel's broadcast single-query crossJoin is a
     # BroadcastNestedLoopJoin over ONE row, which is the intended shape)
     "prebuild_query_hybrid_x": [
-        "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct",
+        # the sparse term restriction is a literal isin filter now (no
+        # tiny-frame broadcast join); top-k + no-product still gated
+        "TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin",
     ],
     # --- embedding link fallback: Arrow encoder feeds a sign-LSH bucket
     # EQUI-join (never an all-pairs surface × alias product)
@@ -108,7 +115,7 @@ CHECKS = {
     ],
     # --- deterministic sampling: a pure codegen'd hash-threshold filter —
     # ZERO exchanges (rand()-free, stateless, partition-layout-invariant)
-    "training_mix_sample_x": ["!Exchange", "!CartesianProduct"],
+    "training_mix_sample_x": ["!hashpartitioning", "!rangepartitioning", "!CartesianProduct"],
     # --- shard packing: distributed prefix sum — per-range window +
     # broadcast offsets; the corpus must NEVER funnel through the
     # SinglePartition global-window exchange
@@ -128,7 +135,7 @@ CHECKS = {
     "host_linkgraph_x": ["HashAggregate", "!ArrowEvalPython", "!CartesianProduct"],
     # --- html ingest parity: the bytes → tag-strip → clean chain is one
     # fused Arrow crossing over a narrow map — no shuffle at all
-    "html_extract_parity": ["ArrowEvalPython", "!Exchange"],
+    "html_extract_parity": ["ArrowEvalPython", "!hashpartitioning", "!rangepartitioning"],
     # --- incremental KG upsert: delta re-link is broadcast joins, the
     # url retirement is a broadcast anti-join — the kept triples are
     # never shuffled, nothing degenerates to sort-merge or a product
@@ -144,7 +151,7 @@ CHECKS = {
     "training_pipeline_x": ["BroadcastHashJoin", "!SinglePartition", "!CartesianProduct"],
     # --- WARC parse: record construction + byte parse is ONE narrow map
     # over the scan — zero shuffles end to end
-    "warc_parse_x": ["MapInPandas", "!Exchange"],
+    "warc_parse_x": ["MapInPandas", "!hashpartitioning", "!rangepartitioning"],
     # --- CDX index: one hash exchange on the file key into the per-file
     # indexing pass (FlatMapGroupsInPandas) — never a single-partition
     # funnel (on a real dump binaryFile supplies the files and even that

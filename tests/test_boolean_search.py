@@ -238,7 +238,13 @@ def test_parse_boolean_query_total_on_arbitrary_input():
     def run(q):
         bq = parse_boolean_query(q, fields=("x",))
         for c in bq.clauses:
-            assert c.has_positive() or c.not_terms or c.not_phrases
+            # every surviving clause is satisfiable-shaped: some positive
+            # factor, a negated term/phrase, or a (possibly pure-negated)
+            # fielded factor — pure-negated fielded clauses are kept since
+            # the De Morgan fix (they match the field complement)
+            assert (
+                c.has_positive() or c.not_terms or c.not_phrases or c.fielded
+            )
 
     run()
 
@@ -264,3 +270,33 @@ def test_parse_boolean_query_total_on_arbitrary_input():
         assert shape(parse_boolean_query(plain)) == shape(
             parse_boolean_query(grouped)
         ), (plain, grouped)
+
+
+def test_declared_query_shapes_pinned():
+    """Shape pins for the driver-declared boolean/grouped queries (moved
+    from import-time asserts in queries/boolean_queries.py — an
+    import-time AssertionError would break the whole queries package and
+    vanish under `python -O`)."""
+    from darkbo_spark.queries.boolean_queries import _BQ, _GQ
+
+    assert [c.phrases for c in _BQ.clauses] == [["window agg"], []]
+    assert _BQ.clauses[1].terms == ["batch"]
+    assert _BQ.clauses[1].not_terms == ["vector"]
+    assert [(c.terms, c.not_phrases) for c in _GQ.clauses] == [
+        (["scan"], ["window agg"]),
+        (["batch"], ["window agg"]),
+    ]
+
+
+def test_pure_negated_fielded_clause_survives():
+    """NOT (lang:en AND scan) distributes to [NOT lang:en] OR [NOT scan];
+    the pure-negated-fielded clause must stay in the DNF (it is
+    satisfiable) instead of being silently dropped."""
+    from darkbo_spark.operators.queryparse import parse_boolean_query
+
+    bq = parse_boolean_query("NOT (lang:en AND scan)", fields=("lang",))
+    assert len(bq.clauses) == 2
+    neg_fielded = [c for c in bq.clauses if c.fielded]
+    assert neg_fielded and neg_fielded[0].fielded == [("lang", "en", True)]
+    neg_term = [c for c in bq.clauses if c.not_terms]
+    assert neg_term and neg_term[0].not_terms == ["scan"]
