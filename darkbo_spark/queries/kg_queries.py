@@ -174,16 +174,13 @@ def _twin_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.kg.oracle_twin import twin_pages
     from darkbo_spark.kg.triples import extract_raw_triples, segment_sentences
 
-    from pyspark import StorageLevel
-
     pages = twin_pages(_t(spark, sf_dir, "documents"))
-    # PERSISTED by canonical plan: this raw E→S→T chain (UDF extraction)
-    # feeds kg_triples_x and, via _kg_linked_twin, the whole linked-twin
-    # family — one cache entry shared across queries in a session (the
-    # UDFs are module-level singletons, so plans canonicalize equal)
-    return extract_raw_triples(segment_sentences(extract_docs(pages))).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # NOT persisted: the raw E→S→T chain has exactly two consumers —
+    # kg_triples_x (one reference) and the _kg_linked_twin chain, which
+    # persists ITS output and so runs this once during its own fill.
+    # Persisting here too was measured to merely move ~1 s of cache-fill
+    # cost onto kg_triples_x (the first toucher) for no family-net gain.
+    return extract_raw_triples(segment_sentences(extract_docs(pages)))
 
 
 @_q("kg_triples_x", est_oracle_sql(240))
