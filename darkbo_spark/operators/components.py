@@ -132,7 +132,11 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the equality check right below materializes
+            # it, so eager=True would only add a separate job per round;
+            # lineage is truncated at the same point either way (the
+            # LogicalRDD is created here, the RDD computes in the next job)
+            .localCheckpoint(eager=False)
         )
         if _edge_sets_equal(e, prev):
             break
