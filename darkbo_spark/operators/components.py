@@ -16,11 +16,15 @@ Scale notes:
 * Lineage is truncated every round with localCheckpoint, otherwise the
   plan re-executes all prior rounds.
 * Convergence is detected EXACTLY: both rounds' edge frames are distinct
-  sets, so symmetric-difference emptiness (`exceptAll` both ways, one
-  extra job per round over already-checkpointed frames) is set equality —
-  no hash-collision failure mode. Exhausting `max_iter` without
-  converging RAISES — silently-unconverged labels would mis-merge
-  entities downstream with no error signal.
+  sets, so symmetric-difference emptiness (`exceptAll` both ways) is set
+  equality — no hash-collision failure mode. The check is COUNT-GATED:
+  each round's count (a shuffle-free job that also materializes the lazy
+  checkpoint) is compared to the previous round's memoized count first,
+  and sets of different size are unequal by definition, so the exceptAll
+  shuffle job runs only on the rare equal-count rounds (in practice: the
+  fixpoint round itself, where it still provides the exact guarantee).
+  Exhausting `max_iter` without converging RAISES — silently-unconverged
+  labels would mis-merge entities downstream with no error signal.
 * Component labels are the MIN node id (stable, deterministic).
 
 large-star(u): connect every neighbor v > u to min(Γ(u) ∪ {u}).
@@ -103,6 +107,7 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     if e.isEmpty():
         return e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
     prev = e
+    prev_n = e.count()  # cheap map job over the eager checkpoint
 
     for _ in range(max_iter):
         # -- large-star: for each u, attach strictly-larger neighbors to the
@@ -132,15 +137,19 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            # LAZY checkpoint: the equality check right below materializes
-            # it, so eager=True would only add a separate job per round;
-            # lineage is truncated at the same point either way (the
-            # LogicalRDD is created here, the RDD computes in the next job)
+            # LAZY checkpoint: the count right below materializes it, so
+            # eager=True would only add a separate job per round; lineage
+            # is truncated at the same point either way (the LogicalRDD is
+            # created here, the RDD computes in the next job)
             .localCheckpoint(eager=False)
         )
-        if _edge_sets_equal(e, prev):
+        # count gate: |e| != |prev| proves e != prev without the exceptAll
+        # shuffle job; only equal-count rounds (the fixpoint round) pay
+        # for the exact symmetric-difference check
+        n = e.count()
+        if n == prev_n and _edge_sets_equal(e, prev):
             break
-        prev = e
+        prev, prev_n = e, n
     else:
         raise ConvergenceError(
             f"connected_components did not converge in {max_iter} rounds"

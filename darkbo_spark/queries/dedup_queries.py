@@ -327,9 +327,12 @@ def neardup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.dedup import neardup_clusters
 
     docs = _neardup_corpus(spark, sf_dir)
-    return neardup_clusters(
-        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
-    )
+    # persist=True (the operator default): the banded signature frame feeds
+    # three plan branches (bucket-size agg + both self-join sides), so the
+    # shingle→MinHash pipeline otherwise computes 3× inside the one pairs
+    # materialization; the cache entry is canonical-plan-keyed, so
+    # dedup_keep_best_x (identical corpus + params) reuses it in-session
+    return neardup_clusters(docs, "text", "doc_id", k=16, bands=4, hash_mode="portable")
 
 
 @_q("dedup_keep_best_x", _KEEP_BEST_ORACLE)
@@ -341,9 +344,9 @@ def dedup_keep_best_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.dedup import dedup_keep_best, neardup_clusters
 
     docs = _neardup_corpus(spark, sf_dir)
-    clusters = neardup_clusters(
-        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
-    )
+    # persist=True: shares the banded-signature cache entry with
+    # neardup_clusters_x (same canonical plan) — see the note there
+    clusters = neardup_clusters(docs, "text", "doc_id", k=16, bands=4, hash_mode="portable")
     scored = docs.select("doc_id", ta.quality_score(F.col("text")).alias("q"))
     return dedup_keep_best(scored, clusters, id_col="doc_id", score_col="q").select(
         "rep_id",
@@ -409,9 +412,9 @@ ORDER BY id_a, id_b
 @_q("minhash_lsh_pairs_x", _minhash_portable_oracle(16, 4, 3, 42, 500))
 def minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _neardup_corpus(spark, sf_dir)
-    return minhash_lsh_pairs(
-        docs, "text", "doc_id", k=16, bands=4, hash_mode="portable", persist=False
-    )
+    # persist=True: same banded canonical plan as neardup_clusters_x /
+    # dedup_keep_best_x — one in-session cache entry serves all three
+    return minhash_lsh_pairs(docs, "text", "doc_id", k=16, bands=4, hash_mode="portable")
 
 
 @_q("simhash_neardup_pairs_x", _simhash_portable_oracle(3, 500, 200))
@@ -419,9 +422,9 @@ def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_neardup_pairs(
-        docs, "text", "doc_id", max_hamming=3, hash_mode="portable", persist=False
-    )
+    # persist=True: the banded simhash frame feeds the bucket-size agg and
+    # both self-join sides — unpersisted, the vote/pack pipeline runs 3×
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3, hash_mode="portable")
 
 
 # ---------------------------------------------------------------------------
