@@ -119,7 +119,18 @@ def triple_sha_col() -> F.Column:
 def twin_entity_dict(spark: SparkSession) -> DataFrame:
     """(eid, alias) rows: 24 companies × 3 alias forms (canonical, ' Inc',
     'The … Company' — the last exercises the leading-'the ' strip in
-    link._norm), 20 persons, 5 cities."""
+    link._norm), 20 persons, 5 cities.
+
+    The plan is memoized per session (queries.common.session_plan_memo):
+    it is a pure function of module constants, every kg twin query calls
+    it, and building the literal-array expression tree costs ~0.3 s of
+    py4j round-trips each time. A lazy plan is cached, never data."""
+    from darkbo_spark.queries.common import session_plan_memo
+
+    memo = session_plan_memo(spark)
+    cached = memo.get("twin_entity_dict")
+    if cached is not None:
+        return cached
     adj = F.array(*[F.lit(x) for x in ADJ])
     noun = F.array(*[F.lit(x) for x in NOUN])
     first = F.array(*[F.lit(x) for x in FIRST])
@@ -155,11 +166,13 @@ def twin_entity_dict(spark: SparkSession) -> DataFrame:
         F.element_at(city, (F.col("id") + 1).cast("int")).alias("canonical")
     )
     cit = cit.select("canonical", F.col("canonical").alias("alias"))
-    return (
+    out = (
         comp.unionByName(pers)
         .unionByName(cit)
         .select(sha256_id_col("entity", "canonical").alias("eid"), "alias")
     )
+    memo["twin_entity_dict"] = out
+    return out
 
 
 # ---------------------------------------------------------------------------

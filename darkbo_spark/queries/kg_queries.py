@@ -222,15 +222,25 @@ def kg_canonicalize_driver_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_linked_twin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     from darkbo_spark.kg.link import link_entities
     from darkbo_spark.kg.oracle_twin import twin_entity_dict
+    from darkbo_spark.queries.common import session_plan_memo
 
     from pyspark import StorageLevel
 
+    # plan-handle memo: ~10 queries build this identical chain; the
+    # CacheManager already dedups the DATA by canonical plan, but each
+    # rebuild still pays ~0.5 s of py4j expression construction — return
+    # the same lazy handle instead (per session, per strategy)
+    memo = session_plan_memo(spark)
+    key = ("kg_linked_twin", sf_dir, strategy)
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     linked = link_entities(
         _twin_raw(spark, sf_dir), twin_entity_dict(spark), strategy=strategy
     )
     # persisted like _twin_raw: consumers (cooccurrence, degrees,
     # pagerank, two-hop, incremental) reference this from 2+ branches
-    return linked.select(
+    out = linked.select(
         "url",
         F.col("sent_idx").cast("bigint").alias("sent_idx"),
         "subj",
@@ -239,6 +249,8 @@ def _kg_linked_twin(spark: SparkSession, sf_dir: str, strategy: str) -> DataFram
         "subj_eid",
         "obj_eid",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    memo[key] = out
+    return out
 
 
 @_q("kg_linked_x", linked_oracle_sql(240))
@@ -420,6 +432,17 @@ def _dated_linked_twin(
     against the (url, ts) side of the same scan, here a broadcast."""
     from darkbo_spark.kg.incremental import extract_and_link
     from darkbo_spark.kg.oracle_twin import raw_text_sql, twin_entity_dict
+    from darkbo_spark.queries.common import session_plan_memo
+
+    # plan-handle memo for the DEFAULT dictionary (custom dictionaries —
+    # holey/grown — are built per query and keep per-call construction):
+    # same rationale as _kg_linked_twin
+    memo = session_plan_memo(spark)
+    key = ("dated_linked_twin", sf_dir)
+    if dictionary is None:
+        cached = memo.get(key)
+        if cached is not None:
+            return cached
 
     docs = _t(spark, sf_dir, "documents")
     pages = docs.filter(F.col("doc_id") < 240).select(
@@ -445,9 +468,12 @@ def _dated_linked_twin(
     # their own (dictionary-sized) entries, LRU-evicted under pressure.
     from pyspark import StorageLevel
 
-    return linked.join(
+    out = linked.join(
         F.broadcast(pages.select("url", "warc_ts")), "url"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if dictionary is None:
+        memo[key] = out
+    return out
 
 
 @_q("kg_facts_asof_x", facts_oracle_sql(240, as_of="2024-01-05"))
