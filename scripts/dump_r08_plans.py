@@ -40,6 +40,11 @@ QUERIES = [
     "kg_entity_profiles_x",
     "kg_entity_cooccurrence_x",
     "kg_dict_growth_x",
+    # second optimization pass (persist + CC count-gate + plan memo)
+    "neardup_clusters_x",
+    "dedup_keep_best_x",
+    "minhash_lsh_pairs_x",
+    "host_components_x",
 ]
 
 
