@@ -411,9 +411,16 @@ def _run_locked(
             # output tables, shared read-only input), so publish them from
             # a small thread pool: Spark schedules concurrent jobs onto
             # free task slots, and the next stage's tasks back-fill the
-            # tail of the previous one (guide §2.6). 2 in flight is enough
-            # to hide the tails without starving either job.
+            # tail of the previous one (guide §2.6). Width is env-tunable
+            # (DARKBO_FUSION_POOL); default = all 5 in flight, which an
+            # interleaved A/B measured fastest (medians: 2→3.39 s,
+            # 3→3.12 s, 5→2.36 s at 100k pages — OPTIMIZATION_r08.md §9).
+            # A job-count, not a core-count: under FIFO scheduling excess
+            # in-flight jobs just queue on a saturated cluster.
+            import os as _os
             from concurrent.futures import ThreadPoolExecutor
+
+            _pool_n = int(_os.environ.get("DARKBO_FUSION_POOL", "5"))
 
             fusion_jobs = [
                 ("kg_facts", f"asof_{facts_asof}_v2", build_facts)
@@ -436,7 +443,7 @@ def _run_locked(
             ]
             # cutoff-independent tables don't carry facts_asof in their
             # fingerprints, so moving the cutoff recomputes kg_facts alone
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            with ThreadPoolExecutor(max_workers=_pool_n) as pool:
                 futures = [
                     pool.submit(stage, name, fp_k + fp_d, params, build)
                     for name, params, build in fusion_jobs

@@ -316,6 +316,31 @@ ORDER BY rep_id
 """
 
 
+def _neardup_clusters_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neardup_clusters over the planted corpus, one handle per session:
+    persist=True (the operator default) computes the banded signature frame
+    once instead of 3× (bucket-size agg + both self-join sides, same
+    canonical plan as minhash_lsh_pairs_x), and the session plan memo
+    returns the SAME checkpointed components frame to both
+    neardup_clusters_x and dedup_keep_best_x — the CC loop (an eager
+    iterative computation, so the CacheManager cannot dedup it by plan)
+    runs once per session instead of once per query. In-session reuse
+    only: a fresh process recomputes everything from parquet."""
+    from darkbo_spark.operators.dedup import neardup_clusters
+    from darkbo_spark.queries.common import session_plan_memo
+
+    memo = session_plan_memo(spark)
+    key = ("neardup_clusters", sf_dir)
+    cached = memo.get(key)
+    if cached is None:
+        docs = _neardup_corpus(spark, sf_dir)
+        cached = neardup_clusters(
+            docs, "text", "doc_id", k=16, bands=4, hash_mode="portable"
+        )
+        memo[key] = cached
+    return cached
+
+
 @_q("neardup_clusters_x", _CLUSTERS_ORACLE)
 def neardup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERING driver-oracled end to end: the real
@@ -326,13 +351,7 @@ def neardup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document FAMILY, not per pair."""
     from darkbo_spark.operators.dedup import neardup_clusters
 
-    docs = _neardup_corpus(spark, sf_dir)
-    # persist=True (the operator default): the banded signature frame feeds
-    # three plan branches (bucket-size agg + both self-join sides), so the
-    # shingle→MinHash pipeline otherwise computes 3× inside the one pairs
-    # materialization; the cache entry is canonical-plan-keyed, so
-    # dedup_keep_best_x (identical corpus + params) reuses it in-session
-    return neardup_clusters(docs, "text", "doc_id", k=16, bands=4, hash_mode="portable")
+    return _neardup_clusters_shared(spark, sf_dir)
 
 
 @_q("dedup_keep_best_x", _KEEP_BEST_ORACLE)
@@ -344,9 +363,7 @@ def dedup_keep_best_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darkbo_spark.operators.dedup import dedup_keep_best, neardup_clusters
 
     docs = _neardup_corpus(spark, sf_dir)
-    # persist=True: shares the banded-signature cache entry with
-    # neardup_clusters_x (same canonical plan) — see the note there
-    clusters = neardup_clusters(docs, "text", "doc_id", k=16, bands=4, hash_mode="portable")
+    clusters = _neardup_clusters_shared(spark, sf_dir)
     scored = docs.select("doc_id", ta.quality_score(F.col("text")).alias("q"))
     return dedup_keep_best(scored, clusters, id_col="doc_id", score_col="q").select(
         "rep_id",
