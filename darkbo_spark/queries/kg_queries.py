@@ -424,7 +424,10 @@ from darkbo_spark.kg.oracle_twin import (  # noqa: E402
 
 
 def _dated_linked_twin(
-    spark: SparkSession, sf_dir: str, dictionary: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    dictionary: DataFrame | None = None,
+    dict_key: str | None = None,
 ) -> DataFrame:
     """Linked triples carrying each page's crawl date: twin pages with
     warc_ts = 2024-01-01 + (doc_id % 7) days through E→S→T→L, the ts
@@ -434,12 +437,15 @@ def _dated_linked_twin(
     from darkbo_spark.kg.oracle_twin import raw_text_sql, twin_entity_dict
     from darkbo_spark.queries.common import session_plan_memo
 
-    # plan-handle memo for the DEFAULT dictionary (custom dictionaries —
-    # holey/grown — are built per query and keep per-call construction):
-    # same rationale as _kg_linked_twin
+    # plan-handle memo for the default dictionary and for any custom
+    # dictionary whose caller declares a stable identity via `dict_key`
+    # (the three NIL-mining queries share one 'holey' chain; the grown
+    # dictionary is unique to dict_growth and passes no key): same
+    # rationale as _kg_linked_twin
     memo = session_plan_memo(spark)
-    key = ("dated_linked_twin", sf_dir)
-    if dictionary is None:
+    memoizable = dictionary is None or dict_key is not None
+    key = ("dated_linked_twin", sf_dir, dict_key)
+    if memoizable:
         cached = memo.get(key)
         if cached is not None:
             return cached
@@ -471,7 +477,7 @@ def _dated_linked_twin(
     out = linked.join(
         F.broadcast(pages.select("url", "warc_ts")), "url"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    if dictionary is None:
+    if memoizable:
         memo[key] = out
     return out
 
@@ -563,6 +569,24 @@ def kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(_dated_linked_twin(spark, sf_dir))
 
 
+def _holey_dict(spark: SparkSession) -> DataFrame:
+    """The deliberately-incomplete twin dictionary (every alias normalizing
+    to 'r…' withheld) shared by the three NIL-mining queries."""
+    from darkbo_spark.kg.link import _norm
+    from darkbo_spark.kg.oracle_twin import twin_entity_dict
+
+    return twin_entity_dict(spark).filter(~_norm(F.col("alias")).startswith("r"))
+
+
+def _holey_dated_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dated linked chain against the holey dictionary, one handle per
+    session (dict_key='holey_v1') — kg_nil_candidates_x, kg_dict_growth_x
+    and kg_nil_candidates_both_x all link the identical chain."""
+    return _dated_linked_twin(
+        spark, sf_dir, dictionary=_holey_dict(spark), dict_key="holey_v1"
+    )
+
+
 @_q("kg_nil_candidates_x", nil_candidates_oracle_sql(240, min_mentions=2))
 def kg_nil_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recurring unlinked subject surfaces — the entities the dictionary
@@ -571,16 +595,9 @@ def kg_nil_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     'r…' (mirrored in the oracle's join predicate), so the companies the
     corpus keeps asserting under those names are genuine dictionary
     misses — the exact situation NIL mining exists for."""
-    from darkbo_spark.kg.link import _norm
-    from darkbo_spark.kg.oracle_twin import twin_entity_dict
     from darkbo_spark.kg.temporal import nil_candidates
 
-    holey_dict = twin_entity_dict(spark).filter(
-        ~_norm(F.col("alias")).startswith("r")
-    )
-    return nil_candidates(
-        _dated_linked_twin(spark, sf_dir, dictionary=holey_dict), min_mentions=2
-    )
+    return nil_candidates(_holey_dated_twin(spark, sf_dir), min_mentions=2)
 
 
 # ---------------------------------------------------------------------------
@@ -602,11 +619,10 @@ def kg_dict_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlinked surface links after growth (linked_after=1), singletons
     stay NIL — observed from a real second link pass, not asserted."""
     from darkbo_spark.kg.link import _norm, augment_dictionary
-    from darkbo_spark.kg.oracle_twin import twin_entity_dict
     from darkbo_spark.kg.temporal import nil_candidates
 
-    holey = twin_entity_dict(spark).filter(~_norm(F.col("alias")).startswith("r"))
-    linked1 = _dated_linked_twin(spark, sf_dir, dictionary=holey)
+    holey = _holey_dict(spark)
+    linked1 = _holey_dated_twin(spark, sf_dir)
     grown = augment_dictionary(holey, nil_candidates(linked1, min_mentions=2))
     linked2 = _dated_linked_twin(spark, sf_dir, dictionary=grown)
     before = (
@@ -635,17 +651,10 @@ def kg_nil_candidates_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-valued predicates (founded_by/acquired/... — literal slots
     like founded_in years and is_a type strings never pollute the
     worklist), against the same holey dictionary as kg_nil_candidates_x."""
-    from darkbo_spark.kg.link import _norm
-    from darkbo_spark.kg.oracle_twin import twin_entity_dict
     from darkbo_spark.kg.temporal import nil_candidates
 
-    holey_dict = twin_entity_dict(spark).filter(
-        ~_norm(F.col("alias")).startswith("r")
-    )
     return nil_candidates(
-        _dated_linked_twin(spark, sf_dir, dictionary=holey_dict),
-        min_mentions=2,
-        side="both",
+        _holey_dated_twin(spark, sf_dir), min_mentions=2, side="both"
     )
 
 
