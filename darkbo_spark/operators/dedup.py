@@ -319,16 +319,24 @@ def cosine_neardup_pairs(
 
 
 def token_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, min_jaccard: float = 0.5
+    df: DataFrame, text_col: str, id_col: str, min_jaccard: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs sharing ≥1 token. Oracle-sized
     inputs only — the LSH path is the scale plan."""
+    from pyspark import StorageLevel
+
     # no .distinct() needed: array_distinct already dedups tokens per doc
     # and doc_ids are unique — the extra full shuffle was pure waste
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))).alias("token"),
     ).filter(F.col("token") != "")
+    # persisted: toks feeds the sizes aggregate and both self-join sides
+    # (and sizes itself is referenced twice), so the tokenize+explode
+    # otherwise reruns per branch
+    if persist:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     t = toks
     inter = (

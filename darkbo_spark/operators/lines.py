@@ -56,14 +56,25 @@ def dedup_lines(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Remove every line that appears in >= min_docs distinct documents;
     rebuild each document's text from its surviving lines in original
     order. Returns (id, text, n_lines_kept, n_lines_removed) — documents
     whose every line was boilerplate survive with empty text (the caller
     decides whether to drop them; silently vanishing rows would corrupt
-    downstream counts)."""
+    downstream counts).
+
+    The exploded line frame feeds THREE branches (boilerplate aggregate,
+    the anti-join side, per-doc totals), so it is persisted by default —
+    unpersisted, the full-text split+posexplode runs three times (the
+    same ReuseExchange-defeat as spans.duplicate_spans). MEMORY_AND_DISK:
+    line rows are corpus-sized, spill-safe."""
+    from pyspark import StorageLevel
+
     lines = split_lines(docs, text_col, id_col)
+    if persist:
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     boiler = (
         lines.filter(F.trim(F.col("line")) != "")
         .groupBy("line")

@@ -72,13 +72,22 @@ def semantic_dedup(
     min_cosine: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    persist: bool = True,
 ) -> DataFrame:
     """(id, cell, kept): kept=false for every vector with a LOWER-id
     neighbor in the same cell at cosine >= min_cosine (keep-lowest-id —
     deterministic, order-free; the transitive-cluster variant is
     operators/dedup.neardup_clusters over these pairs). Cosine is rounded
-    to 6 dp before the threshold, same discipline as the ANN family."""
+    to 6 dp before the threshold, same discipline as the ANN family.
+
+    `cells` is persisted by default: it feeds both self-join sides and
+    the final keep join, so the per-row codebook dot transform otherwise
+    runs 3×."""
+    from pyspark import StorageLevel
+
     cells = assign_cells(emb, codebook, vec_col, id_col)
+    if persist:
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
     a = cells.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cell"
     )

@@ -120,6 +120,7 @@ def duplicate_spans(
     keep_first: bool = False,
     hash_mode: str = "fast",
     tokenizer: str = "space",
+    persist: bool = True,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows): maximal duplicate token
     ranges [span_start, span_end) per document — every merged run of
@@ -128,8 +129,21 @@ def duplicate_spans(
     each fingerprint (min (doc_id, pos)), the retention rule a trim needs
     to keep exactly one copy of duplicated content. tokenizer="ws" uses
     the byte-faithful family's \\S+ token positions (feed those spans to
-    trim_spans_exact)."""
+    trim_spans_exact).
+
+    The fingerprint frame feeds TWO branches (the per-fp family aggregate
+    and the marked join), so it is persisted by default — unpersisted,
+    tokenize + slide + hash runs twice (the _capped_bucket_pairs
+    ReuseExchange-defeat). MEMORY_AND_DISK: (doc_id, pos, fp) rows are
+    token-count-sized, spill-safe. The groupBy+join form itself is kept
+    over a window-function one-pass deliberately: size(collect_set) over
+    a fp-partitioned window would replicate a hot fingerprint's doc set
+    per row — the aggregate does partial map-side work and never does."""
+    from pyspark import StorageLevel
+
     wf = window_fingerprints(df, text_col, id_col, n, hash_mode, tokenizer)
+    if persist:
+        wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
     fam = wf.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("_nd"),
         F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
